@@ -1,0 +1,98 @@
+"""Gather / group / masked pooling / 3-point interpolation.
+
+TPU-native equivalents of the reference's `gather_points`, `group_points`
+(`_ext-src/src/sampling_gpu.cu:8-57`, `group_points_gpu.cu:8-75`),
+`three_interpolate` (`interpolate_gpu.cu:57-154`), and the masked pooling
+helpers `count_to_mask` / `average_feature` / `pooling_features`
+(`pointnet2_ops/pointnet2_utils.py:36-60`, `pointnet2_modules.py:179-208`).
+
+All of these are XLA gathers/segment ops; gradients (scatter-add in the
+reference's hand-written backward kernels) come from autodiff for free.
+Layout is channels-last: features (B, N, C).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """out[b, m, :] = points[b, idx[b, m], :].  (B, N, C) x (B, M) -> (B, M, C)."""
+    return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1)
+
+
+def group_points(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """out[b, m, k, :] = points[b, idx[b, m, k], :].
+
+    (B, N, C) x (B, M, K) -> (B, M, K, C).
+    """
+    b, m, k = idx.shape
+    flat = gather_points(points, idx.reshape(b, m * k))
+    return flat.reshape(b, m, k, points.shape[-1])
+
+
+def count_to_mask(count: jax.Array, k: int) -> jax.Array:
+    """(B, M) neighbor counts -> (B, M, K) bool validity mask
+    (`pointnet2_utils.py:36-44`): slot j is valid iff j < count."""
+    slots = lax.broadcasted_iota(jnp.int32, count.shape + (k,), count.ndim)
+    return slots < count[..., None].astype(jnp.int32)
+
+
+def masked_max_pool(feature: jax.Array, count=None) -> jax.Array:
+    """Max over the neighbor axis.  feature (B, M, K, C) -> (B, M, C).
+
+    The reference max-pools over ALL K slots without masking
+    (`pooling_features`, `pointnet2_modules.py:184-187`) — safe because empty
+    slots repeat a real neighbor.  `count` is accepted for API symmetry.
+    """
+    return jnp.max(feature, axis=-2)
+
+
+def masked_avg_pool(feature: jax.Array, count, k: int | None = None) -> jax.Array:
+    """Average over VALID neighbor slots (`average_feature`,
+    `pointnet2_utils.py:46-60`).  feature (B, M, K, C), count (B, M) or the
+    string 'all' (plain mean over K).  Returns (B, M, C)."""
+    kk = feature.shape[-2]
+    if isinstance(count, str):
+        if count != "all":
+            raise ValueError(count)
+        return jnp.mean(feature, axis=-2)
+    count = jnp.maximum(count, 1)
+    mask = count_to_mask(count, kk)[..., None].astype(feature.dtype)
+    return jnp.sum(feature * mask, axis=-2) / count[..., None].astype(feature.dtype)
+
+
+def pool_features(feature: jax.Array, count=None, pooling: str = "max") -> jax.Array:
+    """Dispatch over the reference's pooling modes
+    (`pointnet2_modules.py:179-208`): 'max', 'avg', and 'avg_max'/'max_avg'
+    (first half of the channels max-pooled, second half masked-averaged)."""
+    if pooling == "max":
+        return masked_max_pool(feature, count)
+    if pooling == "avg":
+        return masked_avg_pool(feature, count)
+    if "avg" in pooling and "max" in pooling:
+        c = feature.shape[-1]
+        half = c // 2
+        return jnp.concatenate(
+            [masked_max_pool(feature[..., :half], count),
+             masked_avg_pool(feature[..., half:], count)], axis=-1)
+    raise ValueError(f"{pooling} pooling is not supported")
+
+
+def three_interpolate(features: jax.Array, idx: jax.Array, weight: jax.Array) -> jax.Array:
+    """Weighted 3-point feature interpolation
+    (`interpolate_gpu.cu:57-110`, wrapper `pointnet2_utils.py:167-219`).
+
+    features (B, M, C), idx (B, n, 3), weight (B, n, 3) -> (B, n, C).
+    """
+    grouped = group_points(features, idx)            # (B, n, 3, C)
+    return jnp.sum(grouped * weight[..., None].astype(grouped.dtype), axis=-2)
+
+
+def interp_weights_from_dists(dist: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Inverse-distance weights used by the FP modules
+    (`pointnet2_modules.py:549-552`): w_i = (1/(d_i+eps)) / sum_j 1/(d_j+eps)."""
+    recip = 1.0 / (dist + eps)
+    return recip / jnp.sum(recip, axis=-1, keepdims=True)
