@@ -1,0 +1,6 @@
+from slide_tpu.configs.presets import (
+    keypoint_ddpm_config,
+    SHAPENET_CATEGORIES,
+)
+
+__all__ = ["keypoint_ddpm_config", "SHAPENET_CATEGORIES"]

@@ -1,0 +1,113 @@
+"""Config presets replicating the reference's shipped experiment configs
+(same JSON schema, SURVEY.md §5.6), generated programmatically.
+
+Hyperparameters mirror
+`pointnet2/configs/shapenet_psr_configs/ddpm_keypoint_training_configs/
+config_standard_attention_batchsize_32_s3_ema_model_keypoint_<cat>.json`
+and friends.
+"""
+
+from __future__ import annotations
+
+import copy
+
+# The 5 trained categories (plus the full 13-class label space used by the
+# class embedding, metadata.yaml ordering).
+SHAPENET_CATEGORIES = {
+    "airplane": "02691156",
+    "cabinet": "02933112",
+    "car": "02958343",
+    "chair": "03001627",
+    "lamp": "03636649",
+}
+
+_ATTENTION = {
+    "use_attention_module": True,
+    "attention_bn": True,
+    "transform_grouped_feat_out": True,
+    "last_activation": True,
+    "add_attention_to_FeatureMapper_module": True,
+}
+
+
+def keypoint_ddpm_config(category: str = "airplane", *, num_keypoints: int = 16,
+                         batch_size: int = 32) -> dict:
+    """Position (keypoint) DDPM training config — the smallest end-to-end
+    model: unconditional diffusion over K latent point positions."""
+    synset = SHAPENET_CATEGORIES.get(category, category)
+    return {
+        "diffusion_config": {"T": 1000, "beta_0": 0.0001, "beta_T": 0.02},
+        "pointnet_config": {
+            "model_name": f"keypoint_ddpm_{category}",
+            "in_fea_dim": 0,
+            "out_dim": 3,
+            "include_t": True,
+            "t_dim": 128,
+            "model.use_xyz": True,
+            "attach_position_to_input_feature": True,
+            "include_abs_coordinate": True,
+            "include_center_coordinate": True,
+            "record_neighbor_stats": False,
+            "bn_first": False,
+            "bias": True,
+            "res_connect": True,
+            "include_class_condition": True,
+            "num_class": 13,
+            "class_condition_dim": 128,
+            "bn": True,
+            "include_local_feature": False,
+            "include_global_feature": False,
+            "global_feature_remove_last_activation": False,
+            "pnet_global_feature_architecture": [[4, 128, 256], [512, 1024]],
+            "attention_setting": copy.deepcopy(_ATTENTION),
+            "architecture": {
+                "npoint": [num_keypoints, num_keypoints],
+                "radius": [0, 0],
+                "neighbor_definition": "nn",
+                "nsample": [num_keypoints, num_keypoints],
+                "feature_dim": [32, 64, 128],
+                "mlp_depth": 3,
+                "decoder_feature_dim": [64, 64, 128],
+                "include_grouper": False,
+                "decoder_mlp_depth": 2,
+                "use_knn_FP": True,
+                "K": 8,
+            },
+            "condition_net_architecture": None,
+            "feature_mapper_architecture": None,
+        },
+        "train_config": {
+            "task": "keypoint_generation",
+            "dataset": "shapenet_psr_dataset",
+            "root_directory": f"exps/keypoint_ddpm/{category}",
+            "output_directory": "checkpoint",
+            "tensorboard_directory": "tensorboard",
+            "ckpt_iter": "max",
+            "epochs_per_ckpt": 10,
+            "iters_per_logging": 50,
+            "n_epochs": 1001,
+            "eval_start_epoch": 0,
+            "eval_per_ckpt": 1,
+            "learning_rate": 0.0002,
+            "loss_type": "mse",
+            "conditioned_on_cloud": False,
+            "split_dataset_to_multi_gpus": True,
+            "ema_rate": [0.999, 0.9999],
+        },
+        "shapenet_psr_dataset_config": {
+            "dataset": "shapenet_psr_dataset",
+            "data_dir": "data/shapenet_psr",
+            "categories": [synset],
+            "npoints": 2048,
+            "scale": 1,
+            "batch_size": batch_size,
+            "eval_batch_size": 64,
+            "num_workers": 4,
+            "num_samples_tested": 128,
+            "centered_to_centroid": False,
+            "num_keypoints": num_keypoints,
+            "keypoints_source": "farthest_points_sampling",
+            "repeat_dataset": 10,
+        },
+        "dist_config": {"dist_backend": "jax", "CUDA_VISIBLE_DEVICES": None},
+    }

@@ -1,0 +1,138 @@
+"""x0-engine tests: schedule coefficients cross-checked against the REFERENCE
+implementation's numpy math, plus train/denoise behavior."""
+
+import sys
+import types
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from slide_tpu.diffusion import (get_beta_schedule, X0Schedule,
+                                 x0_training_loss, x0_denoise, denoising_step)
+
+BASE_CFG = {
+    "beta_schedule": "linear", "beta_start": 1e-4, "beta_end": 0.02,
+    "num_diffusion_timesteps": 100, "data_clamp_range": 1.0,
+    "model_output_scale_factor": 1.0, "loss_type": "epsilon_mse",
+}
+
+
+def _load_ref_diffusion():
+    """Import the reference x0 engine (numpy/torch only paths used here)."""
+    from torch_ref import load_reference_modules
+    load_reference_modules()   # installs pytorch3d stubs + sys.path
+    p3d_struct = types.ModuleType("pytorch3d.structures")
+    p3d_pc = types.ModuleType("pytorch3d.structures.pointclouds")
+    p3d_pc.Pointclouds = type("Pointclouds", (), {})
+    p3d_struct.pointclouds = p3d_pc
+    sys.modules.setdefault("pytorch3d.structures", p3d_struct)
+    sys.modules.setdefault("pytorch3d.structures.pointclouds", p3d_pc)
+    import diffusion_utils.diffusion as ref_diffusion
+    return ref_diffusion
+
+
+# NOTE: warmup10/warmup50 are excluded from the reference comparison — the
+# reference's `_warmup_beta` helper is UNDEFINED in its own code
+# (diffusion.py:17-20 would NameError), so we validate them directly below.
+@pytest.mark.parametrize("schedule", ["linear", "quad", "const", "jsd"])
+def test_beta_schedules_match_reference(schedule):
+    ref = _load_ref_diffusion()
+    kw = dict(beta_start=1e-4, beta_end=0.02, num_diffusion_timesteps=50)
+    want = ref.get_beta_schedule(schedule, **kw)
+    got = get_beta_schedule(schedule, **kw)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+@pytest.mark.parametrize("schedule,frac", [("warmup10", 0.1), ("warmup50", 0.5)])
+def test_warmup_schedules(schedule, frac):
+    t = 100
+    got = get_beta_schedule(schedule, beta_start=1e-4, beta_end=0.02,
+                            num_diffusion_timesteps=t)
+    w = int(t * frac)
+    np.testing.assert_allclose(got[w:], 0.02)
+    np.testing.assert_allclose(got[:w], np.linspace(1e-4, 0.02, w))
+
+
+def test_schedule_coefficients_match_reference():
+    ref = _load_ref_diffusion()
+    ref_engine = ref.Diffusion(dict(BASE_CFG), device=__import__("torch").device("cpu"))
+    sched = X0Schedule.from_config(BASE_CFG)
+    np.testing.assert_allclose(np.asarray(sched.alphas_cumprod),
+                               ref_engine.alphas_cumprod, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sched.sqrt_recip_alphas_cumprod),
+                               ref_engine.sqrt_recip_alphas_cumprod, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sched.sqrt_recipm1_alphas_cumprod),
+                               ref_engine.sqrt_recipm1_alphas_cumprod, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sched.posterior_mean_coef1),
+                               ref_engine.posterior_mean_coef1, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sched.posterior_mean_coef2),
+                               ref_engine.posterior_mean_coef2, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sched.logvar), ref_engine.logvar,
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_t_truncation_from_coefficient():
+    cfg = dict(BASE_CFG, loss_type="mixed_cd_p_epsilon_mse",
+               xt_coefficient_trunction=1.2)
+    sched = X0Schedule.from_config(cfg)
+    sr = np.asarray(sched.sqrt_recip_alphas_cumprod)
+    t = sched.t_truncation
+    assert sr[t - 1] < 1.2 <= sr[t]
+
+
+def test_denoising_step_identity_net():
+    """With eps-prediction = 0, x0 = x / sqrt(abar), clipped."""
+    sched = X0Schedule.from_config(BASE_CFG)
+    x = jnp.ones((2, 8, 3)) * 5.0
+    ts = jnp.asarray([50, 50])
+    sample, x0 = denoising_step(sched, jax.random.key(0), x, ts, jnp.zeros_like(x))
+    np.testing.assert_allclose(np.asarray(x0), 1.0)   # clamped to data_clamp_range
+    assert sample.shape == x.shape
+
+
+def test_denoising_step_t0_no_noise():
+    sched = X0Schedule.from_config(BASE_CFG)
+    x = jnp.ones((2, 8, 3)) * 0.3
+    ts = jnp.zeros((2,), jnp.int32)
+    s1, _ = denoising_step(sched, jax.random.key(1), x, ts, jnp.zeros_like(x))
+    s2, _ = denoising_step(sched, jax.random.key(2), x, ts, jnp.zeros_like(x))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2))  # deterministic at t=0
+
+
+def test_x0_training_loss_types():
+    sched = X0Schedule.from_config(dict(BASE_CFG, loss_type="mixed_cd_p_epsilon_mse",
+                                        t_trunction=30))
+    x = jax.random.normal(jax.random.key(3), (4, 16, 3)) * 0.5
+    net_fn = lambda xt, ts: xt * 0.1
+    for lt in ["cd_p", "cd_t", "x0_mse", "epsilon_mse", "mixed_cd_p_epsilon_mse"]:
+        out = x0_training_loss(net_fn, jax.random.key(4), x, sched, loss_type=lt)
+        assert np.isfinite(float(out["training_loss"])), lt
+    assert {"cd_p", "cd_t", "f1", "x0_mse", "epsilon_mse"} <= set(out)
+
+
+def test_x0_denoise_keypoint_pinning():
+    sched = X0Schedule.from_config(dict(BASE_CFG, num_diffusion_timesteps=10))
+    kp = jnp.ones((2, 8, 3)) * 0.25
+    net_fn = lambda x, ts: jnp.zeros_like(x)
+    out = x0_denoise(net_fn, jax.random.key(5), (2, 8, 3 + 4), sched,
+                     keypoint=kp, keypoint_dim=3)
+    np.testing.assert_allclose(np.asarray(out[..., :3]), 0.25)  # positions pinned
+    assert out.shape == (2, 8, 7)
+
+
+def test_x0_denoise_local_resampling():
+    sched = X0Schedule.from_config(dict(BASE_CFG, num_diffusion_timesteps=10))
+    kp = jnp.zeros((2, 8, 3))
+    complete = jnp.full((2, 8, 7), 0.5)
+    mask = jnp.zeros((2, 8)).at[:, :4].set(1.0)   # resample first 4 points only
+    net_fn = lambda x, ts: jnp.zeros_like(x)
+    out = x0_denoise(net_fn, jax.random.key(6), (2, 8, 7), sched,
+                     keypoint=kp, keypoint_dim=3,
+                     complete_x0=complete, keypoint_mask=mask)
+    # unmasked points' features follow complete_x0's posterior path; final
+    # step (t=0) output for unmasked = deterministic mean built from
+    # complete_x0 — just check masked/unmasked differ and shapes hold
+    assert out.shape == (2, 8, 7)
+    assert not np.allclose(np.asarray(out[:, :4, 3:]), np.asarray(out[:, 4:, 3:]))
