@@ -1,6 +1,7 @@
 from slide_tpu.configs.presets import (
     keypoint_ddpm_config,
+    autoencoder_config,
     SHAPENET_CATEGORIES,
 )
 
-__all__ = ["keypoint_ddpm_config", "SHAPENET_CATEGORIES"]
+__all__ = ["keypoint_ddpm_config", "autoencoder_config", "SHAPENET_CATEGORIES"]

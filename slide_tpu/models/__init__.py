@@ -3,5 +3,11 @@ SAP refinement backbone), point autoencoder stack, and alternative backbones.
 """
 
 from slide_tpu.models.denoiser import ConditionalPointNet2
+from slide_tpu.models.encoder import PointNetEncoder
+from slide_tpu.models.upsample_decoder import (point_upsample,
+                                               PointUpsampleDecoder,
+                                               KeypointDecoder)
+from slide_tpu.models.autoencoder import PointAutoencoder
 
-__all__ = ["ConditionalPointNet2"]
+__all__ = ["ConditionalPointNet2", "PointNetEncoder", "point_upsample",
+           "PointUpsampleDecoder", "KeypointDecoder", "PointAutoencoder"]

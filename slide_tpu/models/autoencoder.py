@@ -1,0 +1,116 @@
+"""Point autoencoder (`pointnet2/models/autoencoder.py:11-92`): PointNet++
+encoder -> VAE-regularized keypoint feature propagation (level-0
+PointUpsampleDecoder) -> cascade of upsampling decoders, trained with
+per-level chamfer against FPS-downsampled ground truth.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from slide_tpu.models.encoder import PointNetEncoder
+from slide_tpu.models.upsample_decoder import (KeypointDecoder,
+                                               PointUpsampleDecoder,
+                                               decoder_feature_out_dim)
+from slide_tpu.ops import calc_cd, furthest_point_sample
+
+
+class PointAutoencoder(nn.Module):
+    """encoder_config / decoder_config_list follow the reference's AE config
+    tree (`json_reader.py:35-43`): decoder_config_list[0] is the keypoint
+    encoder level, the rest form the decoder cascade."""
+
+    encoder_config: Mapping[str, Any]
+    decoder_config_list: Sequence[Mapping[str, Any]]
+    apply_kl_regularization: bool = False
+    kl_weight: float = 0.0
+    feature_weight: Optional[Sequence[float]] = None
+
+    def setup(self):
+        self.encoder = PointNetEncoder(self.encoder_config)
+        feature_dim = self.encoder_config["architecture"]["feature_dim"][-1]
+        self.keypoint_encoder = PointUpsampleDecoder(
+            self.decoder_config_list[0], in_dim=feature_dim,
+            apply_kl_regularization=self.apply_kl_regularization)
+        self.decoder = KeypointDecoder(
+            tuple(self.decoder_config_list[1:]),
+            decoder_feature_out_dim(self.decoder_config_list[0]))
+
+    def encode(self, pointcloud, keypoint, ts=None, label=None,
+               sample_posterior: bool = True):
+        """(B, N, 3+F) cloud + (B, K, 3) keypoints -> (B, K, latent) features
+        (`autoencoder.py:38-41`)."""
+        out, l_xyz_encoder, _ = self.encoder(pointcloud, ts=ts, label=label)
+        feature_at_keypoint, _ = self.keypoint_encoder.propagate_feature(
+            l_xyz_encoder[-1], out, keypoint, ts=ts, label=label,
+            sample_posterior=sample_posterior)
+        return feature_at_keypoint
+
+    def decode(self, keypoint, feature_at_keypoint, ts=None, label=None):
+        """Keypoints + latent features -> reconstructed (B, N, out_dim) cloud
+        (`autoencoder.py:42-45`)."""
+        new_xyz = self.keypoint_encoder.upsample_points(feature_at_keypoint,
+                                                        keypoint)
+        l_xyz_decoder = self.decoder(keypoint[..., :3], feature_at_keypoint,
+                                     new_xyz, ts=ts, label=label)
+        return l_xyz_decoder[-1]
+
+    def __call__(self, pointcloud, keypoint, ts=None, label=None,
+                 loss_type: str = "cd_p", sample_posterior: bool = True,
+                 return_keypoint_feature: bool = False):
+        """Full round trip + per-level losses (`autoencoder.py:48-92`).
+
+        Returns (l_xyz_decoder, loss_list[, feature_at_keypoint]); each
+        loss_list[i] has per-batch 'training_loss' plus calc_cd metrics."""
+        out, l_xyz_encoder, _ = self.encoder(pointcloud, ts=ts, label=label)
+        res = self.keypoint_encoder(l_xyz_encoder[-1], out, keypoint, ts=ts,
+                                    label=label, sample_posterior=sample_posterior)
+        if self.apply_kl_regularization:
+            feature_at_keypoint, new_xyz, kl_loss = res
+        else:
+            (feature_at_keypoint, new_xyz), kl_loss = res, None
+
+        l_xyz_decoder = self.decoder(keypoint[..., :3], feature_at_keypoint,
+                                     new_xyz, ts=ts, label=label)
+
+        if pointcloud.shape[-1] not in (3, 6):
+            raise ValueError("pointcloud must be xyz or xyz+normals")
+        xyz = pointcloud[..., :3]
+        loss_list = []
+        for i in range(1, len(l_xyz_decoder)):
+            uvw = l_xyz_decoder[i]
+            num_points = uvw.shape[1]
+            if self.has_rng("fps"):
+                start = jax.random.randint(self.make_rng("fps"),
+                                           (xyz.shape[0],), 0, xyz.shape[1])
+            else:
+                start = 0
+            idx = furthest_point_sample(xyz, num_points, start_idx=start)
+            down = jnp.take_along_axis(pointcloud, idx[..., None], axis=1)
+            loss_dict = calc_cd(uvw, down, calc_f1=True, f1_threshold=0.0001,
+                                normal_loss_type="mse")
+            fw = 0.0 if self.feature_weight is None else self.feature_weight[i - 1]
+            if loss_type == "cd_p":
+                loss = loss_dict["cd_p"] + loss_dict.get(
+                    "cd_feature_p", jnp.zeros_like(loss_dict["cd_p"])) * fw
+            elif loss_type == "cd_t":
+                loss = loss_dict["cd_t"] + loss_dict.get(
+                    "cd_feature_t", jnp.zeros_like(loss_dict["cd_t"])) * fw
+            else:
+                raise ValueError(f"loss type {loss_type} is not supported")
+            if self.apply_kl_regularization and self.kl_weight > 0:
+                if i == len(l_xyz_decoder) - 1:
+                    loss_dict["kl_loss"] = kl_loss
+                    loss = loss + self.kl_weight * kl_loss
+                else:
+                    loss_dict["kl_loss"] = jnp.zeros_like(loss)
+            loss_dict["training_loss"] = loss
+            loss_list.append(loss_dict)
+
+        if return_keypoint_feature:
+            return l_xyz_decoder, loss_list, feature_at_keypoint
+        return l_xyz_decoder, loss_list
