@@ -230,6 +230,108 @@ def autoencoder_config(category: str = "airplane", *, batch_size: int = 32) -> d
     }
 
 
+def latent_ddpm_config(category: str = "airplane", *, num_keypoints: int = 16,
+                       latent_dim: int = 48, batch_size: int = 32) -> dict:
+    """Feature (latent) DDPM config mirroring
+    `latent_ddpm_training_configs/config_latent_ddpm_s3_dim_16_32_…_<cat>.json`.
+    The frozen autoencoder's config is inlined under `autoencoder_config`."""
+    synset = SHAPENET_CATEGORIES.get(category, category)
+    ae = autoencoder_config(category, batch_size=batch_size)
+    return {
+        "standard_diffusion_config": {
+            "beta_schedule": "linear",
+            "num_diffusion_timesteps": 1000,
+            "beta_start": 0.0001,
+            "beta_end": 0.02,
+            "data_clamp_range": -1,
+            "model_var_type": "fixedsmall",
+            "model_output_scale_factor": 1.0,
+            "loss_type": None,
+            "keypoint_position_loss_weight": 0.0,
+            "feature_loss_weight": 1.0,
+            "keypoint_conditional": True,
+        },
+        "autoencoder_config": {
+            "pointnet_config": ae["pointnet_config"],
+            "ckpt": None,   # path to the trained AE checkpoint
+        },
+        "pointnet_config": {
+            "model_name": f"latent_ddpm_{category}",
+            "in_fea_dim": latent_dim,
+            "out_dim": 3 + latent_dim,
+            "include_t": True,
+            "t_dim": 128,
+            "model.use_xyz": True,
+            "attach_position_to_input_feature": True,
+            "include_abs_coordinate": True,
+            "include_center_coordinate": True,
+            "record_neighbor_stats": False,
+            "bn_first": False,
+            "bias": True,
+            "res_connect": True,
+            "include_class_condition": True,
+            "num_class": 13,
+            "class_condition_dim": 128,
+            "bn": True,
+            "include_local_feature": False,
+            "include_global_feature": False,
+            "global_feature_remove_last_activation": False,
+            "pnet_global_feature_architecture": [[4, 128, 256], [512, 1024]],
+            "attention_setting": copy.deepcopy(_ATTENTION),
+            "architecture": {
+                "npoint": [num_keypoints, num_keypoints],
+                "radius": [0, 0],
+                "neighbor_definition": "nn",
+                "nsample": [num_keypoints, num_keypoints],
+                "feature_dim": [128, 256, 512],
+                "mlp_depth": 3,
+                "decoder_feature_dim": [128, 256, 512],
+                "include_grouper": False,
+                "decoder_mlp_depth": 2,
+                "use_knn_FP": True,
+                "K": 8,
+            },
+            "condition_net_architecture": None,
+            "feature_mapper_architecture": None,
+        },
+        "train_config": {
+            "task": "latent_keypoint_conditional_generation",
+            "dataset": "shapenet_psr_dataset",
+            "root_directory": f"exps/latent_ddpm/{category}",
+            "output_directory": "checkpoint",
+            "tensorboard_directory": "tensorboard",
+            "ckpt_iter": "max",
+            "epochs_per_ckpt": 20,
+            "iters_per_logging": 50,
+            "n_epochs": 1000,
+            "eval_start_epoch": 0,
+            "eval_per_ckpt": 1,
+            "learning_rate": 0.0002,
+            "loss_type": "mse",
+            "conditioned_on_cloud": False,
+            "split_dataset_to_multi_gpus": True,
+            "ema_rate": [0.999, 0.9999],
+        },
+        "shapenet_psr_dataset_config": {
+            "dataset": "shapenet_psr_dataset",
+            "data_dir": "data/shapenet_psr",
+            "categories": [synset],
+            "repeat_dataset": 10,
+            "npoints": 2048,
+            "scale": 1,
+            "batch_size": batch_size,
+            "eval_batch_size": 64,
+            "num_workers": 4,
+            "num_samples_tested": 128,
+            "num_keypoints": num_keypoints,
+            "keypoints_source": "farthest_points_sampling",
+            "test_external_keypoint": False,
+            "external_keypoint_file": None,
+        },
+        "dist_config": {"dist_backend": "jax", "CUDA_VISIBLE_DEVICES": None},
+    }
+
+
 def keypoint_ddpm_config(category: str = "airplane", *, num_keypoints: int = 16,
                          batch_size: int = 32) -> dict:
     """Position (keypoint) DDPM training config — the smallest end-to-end

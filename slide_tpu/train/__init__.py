@@ -10,10 +10,14 @@ gradient mean via XLA's implicit psum (SURVEY.md §2.3).
 from slide_tpu.train.ema import ema_init, ema_update, EMA_DEFAULT_RATES
 from slide_tpu.train.checkpoint import (save_checkpoint, load_checkpoint,
                                         find_max_iter)
-from slide_tpu.train.driver import train_position_ddpm, make_data_mesh
+from slide_tpu.train.driver import (train_position_ddpm, train_autoencoder,
+                                    train_latent_ddpm, build_autoencoder,
+                                    make_data_mesh, run_training,
+                                    experiment_dirs)
 
 __all__ = [
     "ema_init", "ema_update", "EMA_DEFAULT_RATES",
     "save_checkpoint", "load_checkpoint", "find_max_iter",
-    "train_position_ddpm", "make_data_mesh",
+    "train_position_ddpm", "train_autoencoder", "train_latent_ddpm",
+    "build_autoencoder", "make_data_mesh", "run_training", "experiment_dirs",
 ]

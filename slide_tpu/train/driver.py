@@ -1,5 +1,5 @@
-"""Position/point DDPM training driver — reference `train.py:33-293` ported to
-a single pjit-sharded process.
+"""Task training drivers — reference `train.py` / `train_autoencoder.py` /
+`train_latent_ddpm.py` ported to single pjit-sharded processes.
 
 Data parallelism: one `jax.sharding.Mesh` over all local devices with a 'data'
 axis.  The batch is sharded on axis 0, params/EMA/opt-state are replicated,
@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -26,10 +25,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from slide_tpu.data import get_dataloader
 from slide_tpu.diffusion import calc_diffusion_hyperparams, diffusion_training_loss
-from slide_tpu.models import ConditionalPointNet2
+from slide_tpu.diffusion.latent import latent_train_loss
+from slide_tpu.diffusion.x0 import X0Schedule
+from slide_tpu.models import ConditionalPointNet2, PointAutoencoder
 from slide_tpu.ops import sample_keypoints
-from slide_tpu.train.checkpoint import (find_max_iter, load_checkpoint,
-                                        save_checkpoint)
+from slide_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from slide_tpu.train.ema import ema_init, ema_update
 
 
@@ -45,116 +45,83 @@ def make_data_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), ("data",))
 
 
-def _prepare_x(task: str, trainset_config: dict, points, normals):
-    """Task-specific training target assembly (`train.py:188-204`)."""
-    condition = None
-    if task in ("keypoint_generation", "keypoint_conditional_generation"):
-        if trainset_config.get("keypoints_source", "farthest_points_sampling") \
-                != "farthest_points_sampling":
-            raise ValueError("only farthest_points_sampling keypoints supported")
-        keypoint, _ = sample_keypoints(
-            points, trainset_config["num_keypoints"],
-            add_centroid=trainset_config.get("add_centroid_to_keypoints", True))
-    if task in ("generation", "keypoint_conditional_generation") and \
-            trainset_config.get("include_normals", True):
-        points = jnp.concatenate([points, normals], axis=-1)
-    if task == "keypoint_generation":
-        return keypoint, None
-    if task == "generation":
-        return points, None
-    if task == "keypoint_conditional_generation":
-        return points, keypoint
-    raise ValueError(f"task {task} not handled by this driver")
+def experiment_dirs(config: dict) -> tuple[str, str]:
+    """(experiment_root, checkpoint_dir) — layout
+    root/T{T}_betaT{betaT}_{model_name}/<output_directory>
+    (`train.py:59-60`)."""
+    tc = config["train_config"]
+    if "diffusion_config" in config:
+        dc = config["diffusion_config"]
+        t, beta_t = dc["T"], dc["beta_T"]
+    elif "standard_diffusion_config" in config:
+        dc = config["standard_diffusion_config"]
+        t, beta_t = dc["num_diffusion_timesteps"], dc["beta_end"]
+    else:
+        t, beta_t = 0, 0
+    local = "T{}_betaT{}_{}".format(t, beta_t,
+                                    config["pointnet_config"]["model_name"])
+    exp_root = os.path.join(tc["root_directory"], local)
+    return exp_root, os.path.join(exp_root, tc["output_directory"])
 
 
-def make_train_step(net: ConditionalPointNet2, sched, optimizer, ema_rates,
-                    task: str, trainset_config: dict) -> Callable:
-    def train_step(state: TrainState, batch: dict, key: jax.Array):
-        x, condition = _prepare_x(task, trainset_config, batch["points"],
-                                  batch["normals"])
-        label = batch["label"]
-
-        def loss_fn(params):
-            def net_fn(xt, ts):
-                return net.apply({"params": params}, xt, condition=condition,
-                                 ts=ts, label=label)
-            return diffusion_training_loss(net_fn, key, x, sched)
-
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        ema = ema_update(state.ema, params, ema_rates)
-        return state.replace(step=state.step + 1, params=params,
-                             opt_state=opt_state, ema=ema), loss
-
-    return train_step
+def sample_train_keypoints(points, trainset_config: dict, key=None):
+    """FPS keypoints + optional gaussian noise, per the train drivers
+    (`train.py:188-194`, `train_autoencoder.py:169-176`)."""
+    if trainset_config.get("keypoints_source", "farthest_points_sampling") \
+            != "farthest_points_sampling":
+        raise ValueError("only farthest_points_sampling keypoints supported")
+    sub_key = None
+    if trainset_config.get("random_sample_keypoints", False) or \
+            not trainset_config.get("add_centroid_to_keypoints", True):
+        key, sub_key = jax.random.split(key)
+    keypoint, _ = sample_keypoints(
+        points, trainset_config["num_keypoints"],
+        add_centroid=trainset_config.get("add_centroid_to_keypoints", True),
+        random_subsample=trainset_config.get("random_sample_keypoints", False),
+        key=sub_key)
+    nm = trainset_config.get("keypoint_noise_magnitude", 0)
+    if nm > 0:
+        if key is None:
+            raise ValueError("keypoint noise requires a PRNG key")
+        key, k2 = jax.random.split(key)
+        keypoint = keypoint + nm * jax.random.normal(k2, keypoint.shape)
+    return keypoint
 
 
 def _device_batch(batch: dict, sharding) -> dict:
     out = {}
-    for k in ("points", "normals"):
+    for k in ("points", "normals", "psr"):
         if k in batch:
             out[k] = jax.device_put(jnp.asarray(batch[k], jnp.float32), sharding)
     out["label"] = jax.device_put(jnp.asarray(batch["label"], jnp.int32), sharding)
     return out
 
 
-def train_position_ddpm(config: dict, *, data_dir: Optional[str] = None,
-                        max_iters: Optional[int] = None,
-                        mesh: Optional[Mesh] = None, seed: int = 0,
-                        eval_hook: Optional[Callable] = None,
-                        verbose: bool = True):
-    """Train the position/point DDPM per `train_config` (reference
-    `train.py`).  Returns (final TrainState, list of losses).
+def run_training(config: dict, state: TrainState, train_step: Callable, *,
+                 data_dir: Optional[str] = None, mesh: Optional[Mesh] = None,
+                 max_iters: Optional[int] = None, seed: int = 0,
+                 eval_hook: Optional[Callable] = None, verbose: bool = True,
+                 resume_opt_structure=None):
+    """Shared training scaffold: resume, sharded step, logging, checkpoints.
 
-    eval_hook(params, ema_list, n_iter): called at every checkpoint.
+    train_step(state, device_batch, key) -> (state, scalar loss), already
+    built for the task.  Returns (final state, [(iter, loss), ...]).
     """
     train_config = config["train_config"]
     trainset_config = dict(config["shapenet_psr_dataset_config"])
     if data_dir is not None:
         trainset_config["data_dir"] = data_dir
-    diffusion_config = config["diffusion_config"]
-    task = train_config["task"]
 
     mesh = mesh or make_data_mesh()
     n_dev = mesh.devices.size
     repl = NamedSharding(mesh, P())
     data_sh = NamedSharding(mesh, P("data"))
-
-    # experiment dir layout: root/T{T}_betaT{betaT}_{model_name}/checkpoint
-    local_path = "T{}_betaT{}_{}".format(diffusion_config["T"],
-                                         diffusion_config["beta_T"],
-                                         config["pointnet_config"]["model_name"])
-    root = train_config["root_directory"]
-    output_directory = os.path.join(root, local_path,
-                                    train_config["output_directory"])
-
-    sched = calc_diffusion_hyperparams(diffusion_config["T"],
-                                       diffusion_config["beta_0"],
-                                       diffusion_config["beta_T"])
-    net = ConditionalPointNet2(config["pointnet_config"])
-    optimizer = optax.adam(train_config["learning_rate"])
-    ema_rates = tuple(train_config.get("ema_rate") or ())
-
-    # init params (shapes depend on task)
-    npts = trainset_config["num_keypoints"] if task == "keypoint_generation" \
-        else trainset_config["npoints"]
-    in_dim = 3 + config["pointnet_config"]["in_fea_dim"]
-    x0 = jnp.zeros((2, npts, in_dim))
-    cond0 = None
-    if task == "keypoint_conditional_generation":
-        cond0 = jnp.zeros((2, trainset_config["num_keypoints"], 3))
-    variables = net.init(jax.random.key(seed), x0, condition=cond0,
-                         ts=jnp.zeros((2,), jnp.int32),
-                         label=jnp.zeros((2,), jnp.int32))
-    params = variables["params"]
-    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                       opt_state=optimizer.init(params),
-                       ema=ema_init(params, ema_rates))
+    _, output_directory = experiment_dirs(config)
 
     # resume-by-default (train.py:128-158)
     time_offset = 0
     ckpt_iter = -1
+    ema_rates = tuple(train_config.get("ema_rate") or ())
     if train_config.get("ckpt_iter") == "max":
         ckpt = load_checkpoint(output_directory)
         if ckpt is not None:
@@ -164,18 +131,15 @@ def train_position_ddpm(config: dict, *, data_dir: Optional[str] = None,
                 opt_state=jax.tree.unflatten(
                     jax.tree.structure(state.opt_state),
                     jax.tree.leaves(ckpt["optimizer_state_dict"])),
-                ema=tuple(ckpt.get("ema_state_list", state.ema)))
+                ema=tuple(ckpt["ema_state_list"]) if ema_rates else state.ema)
             ckpt_iter = ckpt["iter"]
             time_offset = ckpt.get("training_time_seconds", 0)
             if verbose:
                 print(f"resumed from iteration {ckpt_iter}", flush=True)
-
     state = jax.device_put(state, repl)
 
-    train_step = jax.jit(
-        make_train_step(net, sched, optimizer, ema_rates, task, trainset_config),
-        in_shardings=(repl, data_sh, repl), out_shardings=(repl, repl),
-        donate_argnums=0)
+    step_fn = jax.jit(train_step, in_shardings=(repl, data_sh, repl),
+                      out_shardings=(repl, repl), donate_argnums=0)
 
     loader = get_dataloader(trainset_config, phase="train", seed=seed)
     loader_len = len(loader)
@@ -197,7 +161,8 @@ def train_position_ddpm(config: dict, *, data_dir: Optional[str] = None,
             if batch["label"].shape[0] % n_dev != 0:
                 continue  # static sharding needs divisible batches
             db = _device_batch(batch, data_sh)
-            state, loss = train_step(state, db, jax.random.fold_in(base_key, n_iter))
+            key = jax.device_put(jax.random.fold_in(base_key, n_iter), repl)
+            state, loss = step_fn(state, db, key)
             if n_iter % iters_per_logging == 0:
                 loss_v = float(loss)
                 losses.append((n_iter, loss_v))
@@ -214,3 +179,229 @@ def train_position_ddpm(config: dict, *, data_dir: Optional[str] = None,
                     eval_hook(state.params, list(state.ema), n_iter)
             n_iter += 1
     return state, losses
+
+
+# ---------------------------------------------------------------------------
+# Position / point DDPM (train.py)
+
+
+def _prepare_x(task: str, trainset_config: dict, points, normals, key):
+    """Task-specific training target assembly (`train.py:188-204`)."""
+    condition = None
+    keypoint = None
+    if task in ("keypoint_generation", "keypoint_conditional_generation"):
+        keypoint = sample_train_keypoints(points, trainset_config, key)
+    if task in ("generation", "keypoint_conditional_generation") and \
+            trainset_config.get("include_normals", True):
+        points = jnp.concatenate([points, normals], axis=-1)
+    if task == "keypoint_generation":
+        return keypoint, None
+    if task == "generation":
+        return points, None
+    if task == "keypoint_conditional_generation":
+        return points, keypoint
+    raise ValueError(f"task {task} not handled by this driver")
+
+
+def make_train_step(net: ConditionalPointNet2, sched, optimizer, ema_rates,
+                    task: str, trainset_config: dict) -> Callable:
+    def train_step(state: TrainState, batch: dict, key: jax.Array):
+        k_prep, k_loss = jax.random.split(key)
+        x, condition = _prepare_x(task, trainset_config, batch["points"],
+                                  batch["normals"], k_prep)
+        label = batch["label"]
+
+        def loss_fn(params):
+            def net_fn(xt, ts):
+                return net.apply({"params": params}, xt, condition=condition,
+                                 ts=ts, label=label)
+            return diffusion_training_loss(net_fn, k_loss, x, sched)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = ema_update(state.ema, params, ema_rates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state, ema=ema), loss
+
+    return train_step
+
+
+def _init_state(params, optimizer, ema_rates) -> TrainState:
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=optimizer.init(params),
+                      ema=ema_init(params, ema_rates))
+
+
+def train_position_ddpm(config: dict, *, data_dir: Optional[str] = None,
+                        max_iters: Optional[int] = None,
+                        mesh: Optional[Mesh] = None, seed: int = 0,
+                        eval_hook: Optional[Callable] = None,
+                        verbose: bool = True):
+    """Train the position/point DDPM per `train_config` (reference
+    `train.py`)."""
+    train_config = config["train_config"]
+    trainset_config = config["shapenet_psr_dataset_config"]
+    dc = config["diffusion_config"]
+    task = train_config["task"]
+    sched = calc_diffusion_hyperparams(dc["T"], dc["beta_0"], dc["beta_T"])
+    net = ConditionalPointNet2(config["pointnet_config"])
+    optimizer = optax.adam(train_config["learning_rate"])
+    ema_rates = tuple(train_config.get("ema_rate") or ())
+
+    npts = trainset_config["num_keypoints"] if task == "keypoint_generation" \
+        else trainset_config["npoints"]
+    in_dim = 3 + config["pointnet_config"]["in_fea_dim"]
+    cond0 = jnp.zeros((2, trainset_config["num_keypoints"], 3)) \
+        if task == "keypoint_conditional_generation" else None
+    variables = net.init(jax.random.key(seed), jnp.zeros((2, npts, in_dim)),
+                         condition=cond0, ts=jnp.zeros((2,), jnp.int32),
+                         label=jnp.zeros((2,), jnp.int32))
+    state = _init_state(variables["params"], optimizer, ema_rates)
+    step = make_train_step(net, sched, optimizer, ema_rates, task, trainset_config)
+    return run_training(config, state, step, data_dir=data_dir, mesh=mesh,
+                        max_iters=max_iters, seed=seed, eval_hook=eval_hook,
+                        verbose=verbose)
+
+
+# ---------------------------------------------------------------------------
+# Autoencoder (train_autoencoder.py)
+
+
+def build_autoencoder(pointnet_config: dict) -> PointAutoencoder:
+    return PointAutoencoder(
+        pointnet_config["encoder_config"],
+        tuple(pointnet_config["decoder_config_list"]),
+        apply_kl_regularization=pointnet_config.get("apply_kl_regularization", False),
+        kl_weight=pointnet_config.get("kl_weight", 0),
+        feature_weight=tuple(pointnet_config["feature_weight"])
+        if pointnet_config.get("feature_weight") else None)
+
+
+def make_ae_train_step(ae: PointAutoencoder, optimizer, ema_rates,
+                       trainset_config: dict) -> Callable:
+    def train_step(state: TrainState, batch: dict, key: jax.Array):
+        k_kp, k_g, k_f = jax.random.split(key, 3)
+        points = batch["points"]
+        normals = batch["normals"]
+        normals = normals / jnp.linalg.norm(normals, axis=-1, keepdims=True)
+        keypoints = sample_train_keypoints(points, trainset_config, k_kp)
+        x = jnp.concatenate([points, normals], axis=-1)
+        label = batch["label"]
+
+        def loss_fn(params):
+            _, loss_list = ae.apply({"params": params}, x, keypoints,
+                                    label=label, loss_type="cd_p",
+                                    rngs={"gaussian": k_g, "fps": k_f})
+            return sum(jnp.mean(ld["training_loss"]) for ld in loss_list)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = ema_update(state.ema, params, ema_rates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state, ema=ema), loss
+
+    return train_step
+
+
+def train_autoencoder(config: dict, *, data_dir: Optional[str] = None,
+                      max_iters: Optional[int] = None,
+                      mesh: Optional[Mesh] = None, seed: int = 0,
+                      eval_hook: Optional[Callable] = None,
+                      verbose: bool = True):
+    """Train the point autoencoder (reference `train_autoencoder.py:30-236`;
+    no EMA there — honored unless config sets ema_rate)."""
+    train_config = config["train_config"]
+    trainset_config = config["shapenet_psr_dataset_config"]
+    pc = config["pointnet_config"]
+    ae = build_autoencoder(pc)
+    optimizer = optax.adam(train_config["learning_rate"])
+    ema_rates = tuple(train_config.get("ema_rate") or ())
+
+    npts = trainset_config["npoints"]
+    k = trainset_config["num_keypoints"]
+    variables = ae.init(
+        {"params": jax.random.key(seed), "gaussian": jax.random.key(seed + 1),
+         "fps": jax.random.key(seed + 2)},
+        jnp.zeros((2, npts, 6)), jnp.zeros((2, k, 3)),
+        label=jnp.zeros((2,), jnp.int32))
+    state = _init_state(variables["params"], optimizer, ema_rates)
+    step = make_ae_train_step(ae, optimizer, ema_rates, trainset_config)
+    return run_training(config, state, step, data_dir=data_dir, mesh=mesh,
+                        max_iters=max_iters, seed=seed, eval_hook=eval_hook,
+                        verbose=verbose)
+
+
+# ---------------------------------------------------------------------------
+# Latent (feature) DDPM (train_latent_ddpm.py)
+
+
+def make_latent_train_step(net: ConditionalPointNet2, ae: PointAutoencoder,
+                           ae_params, sched: X0Schedule, diffusion_config: dict,
+                           optimizer, ema_rates, trainset_config: dict) -> Callable:
+    kp_cond = diffusion_config.get("keypoint_conditional", False)
+    from slide_tpu.diffusion.latent import latent_config_weights
+    kp_w, feat_w = latent_config_weights(diffusion_config)
+
+    def train_step(state: TrainState, batch: dict, key: jax.Array):
+        k_kp, k_loss = jax.random.split(key)
+        points = batch["points"]
+        keypoint = sample_train_keypoints(points, trainset_config, k_kp)
+        x = points
+        if trainset_config.get("include_normals", True):
+            x = jnp.concatenate([x, batch["normals"]], axis=-1)
+        label = batch["label"]
+
+        def encode_fn(xx, kp, lbl, kk):
+            return ae.apply({"params": ae_params}, xx, kp, label=lbl,
+                            method=ae.encode, rngs={"gaussian": kk})
+
+        def loss_fn(params):
+            def net_fn(xt, ts):
+                return net.apply({"params": params}, xt, ts=ts, label=label)
+            per_sample = latent_train_loss(
+                net_fn, encode_fn, k_loss, x, keypoint, label, sched,
+                keypoint_conditional=kp_cond,
+                keypoint_position_loss_weight=kp_w, feature_loss_weight=feat_w)
+            return jnp.mean(per_sample)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = ema_update(state.ema, params, ema_rates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state, ema=ema), loss
+
+    return train_step
+
+
+def train_latent_ddpm(config: dict, ae_params, *, data_dir: Optional[str] = None,
+                      max_iters: Optional[int] = None,
+                      mesh: Optional[Mesh] = None, seed: int = 0,
+                      eval_hook: Optional[Callable] = None,
+                      verbose: bool = True):
+    """Train the feature (latent) DDPM against a FROZEN autoencoder
+    (reference `train_latent_ddpm.py:35-280`).  `ae_params` are the loaded AE
+    parameters; the AE structure comes from
+    config['autoencoder_config']['pointnet_config']."""
+    train_config = config["train_config"]
+    trainset_config = config["shapenet_psr_dataset_config"]
+    sdc = config["standard_diffusion_config"]
+    sched = X0Schedule.from_config(sdc)
+    net = ConditionalPointNet2(config["pointnet_config"])
+    ae = build_autoencoder(config["autoencoder_config"]["pointnet_config"])
+    optimizer = optax.adam(train_config["learning_rate"])
+    ema_rates = tuple(train_config.get("ema_rate") or ())
+
+    k = trainset_config["num_keypoints"]
+    in_dim = 3 + config["pointnet_config"]["in_fea_dim"]
+    variables = net.init(jax.random.key(seed), jnp.zeros((2, k, in_dim)),
+                         ts=jnp.zeros((2,), jnp.int32),
+                         label=jnp.zeros((2,), jnp.int32))
+    state = _init_state(variables["params"], optimizer, ema_rates)
+    step = make_latent_train_step(net, ae, ae_params, sched, sdc, optimizer,
+                                  ema_rates, trainset_config)
+    return run_training(config, state, step, data_dir=data_dir, mesh=mesh,
+                        max_iters=max_iters, seed=seed, eval_hook=eval_hook,
+                        verbose=verbose)
