@@ -11,7 +11,8 @@ from slide_tpu.train.ema import ema_init, ema_update, EMA_DEFAULT_RATES
 from slide_tpu.train.checkpoint import (save_checkpoint, load_checkpoint,
                                         find_max_iter)
 from slide_tpu.train.driver import (train_position_ddpm, train_autoencoder,
-                                    train_latent_ddpm, build_autoencoder,
+                                    train_latent_ddpm, train_upsampler,
+                                    build_autoencoder,
                                     make_data_mesh, run_training,
                                     experiment_dirs)
 
@@ -19,5 +20,6 @@ __all__ = [
     "ema_init", "ema_update", "EMA_DEFAULT_RATES",
     "save_checkpoint", "load_checkpoint", "find_max_iter",
     "train_position_ddpm", "train_autoencoder", "train_latent_ddpm",
+    "train_upsampler",
     "build_autoencoder", "make_data_mesh", "run_training", "experiment_dirs",
 ]

@@ -337,6 +337,113 @@ def train_autoencoder(config: dict, *, data_dir: Optional[str] = None,
 # Latent (feature) DDPM (train_latent_ddpm.py)
 
 
+def make_upsampler_train_step(net: ConditionalPointNet2, dpsr, optimizer,
+                              ema_rates, trainset_config: dict,
+                              dpsr_config: dict, pointnet_config: dict,
+                              ae=None, ae_params=None,
+                              noise_magnitude: float = 0.0) -> Callable:
+    """SAP refine+upsample step (`train_upsampler.py:200-258`): optionally
+    corrupt the cloud through a frozen AE round trip, mirror+tag, predict
+    displacements, split, DPSR, (tanh-)MSE against the ground-truth grid."""
+    from slide_tpu.sap import mirror_and_concat, network_output_to_dpsr_grid
+
+    mirror_first = dpsr_config.get("mirror_before_upsampling", False)
+    only_orig = dpsr_config.get("only_original_points_split", False)
+    psr_tanh = dpsr_config.get("psr_tanh", True)
+    use_ae = ae is not None
+    include_normals = trainset_config.get("include_normals", True)
+
+    def train_step(state: TrainState, batch: dict, key: jax.Array):
+        k_kp, k_ae, k_noise, k_perm = jax.random.split(key, 4)
+        points = batch["points"]
+        normals = batch["normals"]
+        normals = normals / jnp.linalg.norm(normals, axis=-1, keepdims=True)
+        label = batch["label"]
+        psr_gt = batch["psr"]
+        if include_normals:
+            x = jnp.concatenate([points, normals], axis=-1)
+        else:
+            x = jnp.concatenate([points, jnp.zeros_like(points)], axis=-1)
+        if use_ae:
+            keypoint = sample_train_keypoints(points, trainset_config, k_kp)
+            feat = ae.apply({"params": ae_params}, x, keypoint, label=label,
+                            method=ae.encode, rngs={"gaussian": k_ae})
+            x = ae.apply({"params": ae_params}, keypoint, feat, label=label,
+                         method=ae.decode)
+            x = jax.lax.stop_gradient(x)
+            if noise_magnitude > 0:
+                if dpsr_config.get("split_before_refine", False):
+                    sf = dpsr_config["split_factor"]
+                    b, n, f = x.shape
+                    noise = noise_magnitude * jax.random.normal(
+                        k_noise, (b, n, sf, f), x.dtype)
+                    x = (x[:, :, None, :] + noise).reshape(b, n * sf, f)
+                else:
+                    x = x + noise_magnitude * jax.random.normal(k_noise, x.shape)
+        if mirror_first:
+            x = mirror_and_concat(x, axis=2, num_points=(), attach_label=True,
+                                  permute=not only_orig, key=k_perm)[0]
+
+        def loss_fn(params):
+            disp = net.apply({"params": params}, x, ts=None, label=label)
+            grid, _, _ = network_output_to_dpsr_grid(
+                x, disp, dpsr, trainset_config["scale"], pointnet_config,
+                last_dim_as_indicator=mirror_first,
+                only_original_points_split=only_orig)
+            if psr_tanh:
+                return jnp.mean((jnp.tanh(grid) - jnp.tanh(psr_gt)) ** 2)
+            return jnp.mean((grid - psr_gt) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = ema_update(state.ema, params, ema_rates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state, ema=ema), loss
+
+    return train_step
+
+
+def train_upsampler(config: dict, *, ae_params=None,
+                    data_dir: Optional[str] = None,
+                    max_iters: Optional[int] = None,
+                    mesh: Optional[Mesh] = None, seed: int = 0,
+                    eval_hook: Optional[Callable] = None,
+                    verbose: bool = True):
+    """Train the SAP refine+upsample network (reference
+    `train_upsampler.py:40-311`)."""
+    from slide_tpu.sap import DPSR
+
+    train_config = config["train_config"]
+    trainset_config = config["shapenet_psr_dataset_config"]
+    pc = config["pointnet_config"]
+    dpsr_config = config["dpsr_config"]
+    res = (dpsr_config["grid_res"],) * 3
+    dpsr = DPSR(res, sig=dpsr_config["psr_sigma"])
+    net = ConditionalPointNet2(pc)
+    optimizer = optax.adam(train_config["learning_rate"])
+    ema_rates = tuple(train_config.get("ema_rate") or ())
+
+    ae = None
+    noise_magnitude = 0.0
+    if config.get("autoencoder_config") and ae_params is not None:
+        ae = build_autoencoder(config["autoencoder_config"]["pointnet_config"])
+        noise_magnitude = config["autoencoder_config"].get("noise_magnitude", 0.0)
+
+    npts = trainset_config["npoints"]
+    in_dim = 3 + pc["in_fea_dim"]
+    variables = net.init(jax.random.key(seed), jnp.zeros((2, npts, in_dim)),
+                         ts=None, label=jnp.zeros((2,), jnp.int32))
+    state = _init_state(variables["params"], optimizer, ema_rates)
+    step = make_upsampler_train_step(net, dpsr, optimizer, ema_rates,
+                                     trainset_config, dpsr_config, pc,
+                                     ae=ae, ae_params=ae_params,
+                                     noise_magnitude=noise_magnitude)
+    return run_training(config, state, step, data_dir=data_dir, mesh=mesh,
+                        max_iters=max_iters, seed=seed, eval_hook=eval_hook,
+                        verbose=verbose)
+
+
 def make_latent_train_step(net: ConditionalPointNet2, ae: PointAutoencoder,
                            ae_params, sched: X0Schedule, diffusion_config: dict,
                            optimizer, ema_rates, trainset_config: dict) -> Callable:
