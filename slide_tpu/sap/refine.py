@@ -19,6 +19,16 @@ def shapenet_psr_normalize(x: jax.Array) -> jax.Array:
     return (x - center) / max_length * 0.99
 
 
+def compute_center_and_max_length(x):
+    """Bounding-box center and max extent (`dpsr_evaluation.py:34-43`).
+    x (B, N, 3) -> (center (B,1,3), max_length (B,1,1))."""
+    minn = jnp.min(x, axis=1, keepdims=True)
+    maxx = jnp.max(x, axis=1, keepdims=True)
+    center = (maxx + minn) / 2.0
+    max_length = jnp.max(maxx - minn, axis=2, keepdims=True)
+    return center, max_length
+
+
 def network_output_to_dpsr_grid(x, displacement, dpsr, scale, pointnet_config,
                                 *, last_dim_as_indicator: bool = False,
                                 only_original_points_split: bool = False,
