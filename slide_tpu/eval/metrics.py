@@ -1,0 +1,193 @@
+"""Generative-model metric suite — reference
+`models/pvd/metrics/evaluation_metrics.py:29-278`: paired CD/EMD/F-score,
+pairwise distance matrices, MMD/COV, 1-NNA two-sample classifier, and the
+JSD occupancy-grid metric.
+
+TPU-first: the pairwise matrices are computed by jitted batched sweeps (one
+sample row against a block of references at a time), which is where nearly all
+the FLOPs live.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.stats import entropy
+
+from slide_tpu.ops.chamfer import chamfer_parts, fscore
+from slide_tpu.ops.emd import earth_mover_distance
+
+
+def _cd_t(a, b):
+    parts = chamfer_parts(a, b)
+    return parts["dist_x"].mean(1) + parts["dist_y"].mean(1)
+
+
+def emd_cd(sample_pcs, ref_pcs, f1_threshold: float = 0.001):
+    """Paired metrics between aligned sample/reference sets
+    (`evaluation_metrics.py:29-43`): {'CD', 'EMD', 'fscore'} each (B,)."""
+    sample_pcs = jnp.asarray(sample_pcs)
+    ref_pcs = jnp.asarray(ref_pcs)
+    if sample_pcs.shape[0] != ref_pcs.shape[0]:
+        raise ValueError("paired metrics need equal set sizes")
+    parts = chamfer_parts(sample_pcs, ref_pcs)
+    cd = parts["dist_x"].mean(1) + parts["dist_y"].mean(1)
+    fs, _, _ = fscore(parts["dist_x"], parts["dist_y"], threshold=f1_threshold)
+    emd = earth_mover_distance(sample_pcs, ref_pcs)
+    return {"CD": cd, "EMD": emd, "fscore": fs}
+
+
+@partial(jax.jit, static_argnames=())
+def _row_block(sample_one, ref_block):
+    """(N, 3) vs (R, N, 3) -> (cd (R,), emd (R,))."""
+    s = jnp.broadcast_to(sample_one[None], ref_block.shape)
+    return _cd_t(s, ref_block), earth_mover_distance(s, ref_block)
+
+
+def pairwise_emd_cd(sample_pcs, ref_pcs, batch_size: int = 32,
+                    verbose: bool = False):
+    """All-pairs CD and EMD matrices (N_sample, N_ref)
+    (`_pairwise_EMD_CD_`, `evaluation_metrics.py:45-78`)."""
+    sample_pcs = jnp.asarray(sample_pcs)
+    ref_pcs = jnp.asarray(ref_pcs)
+    n_s, n_r = sample_pcs.shape[0], ref_pcs.shape[0]
+    all_cd = np.zeros((n_s, n_r), np.float32)
+    all_emd = np.zeros((n_s, n_r), np.float32)
+    for i in range(n_s):
+        for r0 in range(0, n_r, batch_size):
+            block = ref_pcs[r0:r0 + batch_size]
+            cd, emd = _row_block(sample_pcs[i], block)
+            all_cd[i, r0:r0 + block.shape[0]] = np.asarray(cd)
+            all_emd[i, r0:r0 + block.shape[0]] = np.asarray(emd)
+        if verbose and (i + 1) % 32 == 0:
+            print(f"pairwise metrics: {i + 1}/{n_s}", flush=True)
+    return all_cd, all_emd
+
+
+def knn_classifier(m_xx, m_xy, m_yy, k: int = 1, sqrt: bool = False):
+    """Leave-one-out kNN two-sample test (1-NNA)
+    (`evaluation_metrics.py:82-111`).  Returns dict incl. 'acc', 'acc_t',
+    'acc_f'."""
+    m_xx, m_xy, m_yy = map(np.asarray, (m_xx, m_xy, m_yy))
+    n0, n1 = m_xx.shape[0], m_yy.shape[0]
+    label = np.concatenate([np.ones(n0), np.zeros(n1)])
+    mat = np.block([[m_xx, m_xy], [m_xy.T, m_yy]]).astype(np.float64)
+    if sqrt:
+        mat = np.sqrt(np.abs(mat))
+    np.fill_diagonal(mat, np.inf)
+    idx = np.argsort(mat, axis=0)[:k]                 # k smallest per column
+    count = label[idx].sum(axis=0)
+    pred = (count >= (k / 2.0)).astype(np.float64)
+    tp = (pred * label).sum()
+    fp = (pred * (1 - label)).sum()
+    fn = ((1 - pred) * label).sum()
+    tn = ((1 - pred) * (1 - label)).sum()
+    return {
+        "tp": tp, "fp": fp, "fn": fn, "tn": tn,
+        "precision": tp / (tp + fp + 1e-10),
+        "recall": tp / (tp + fn + 1e-10),
+        "acc_t": tp / (tp + fn + 1e-10),
+        "acc_f": tn / (tn + fp + 1e-10),
+        "acc": float((pred == label).mean()),
+    }
+
+
+def lgan_mmd_cov(all_dist):
+    """MMD / COV from a (N_sample, N_ref) distance matrix
+    (`evaluation_metrics.py:114-126`)."""
+    all_dist = np.asarray(all_dist)
+    n_ref = all_dist.shape[1]
+    min_from_sample = all_dist.min(axis=1)
+    min_idx = all_dist.argmin(axis=1)
+    min_per_ref = all_dist.min(axis=0)
+    return {
+        "lgan_mmd": float(min_per_ref.mean()),
+        "lgan_cov": float(len(np.unique(min_idx)) / n_ref),
+        "lgan_mmd_smp": float(min_from_sample.mean()),
+    }
+
+
+def compute_all_metrics(sample_pcs, ref_pcs, batch_size: int = 32,
+                        verbose: bool = False):
+    """The full suite (`evaluation_metrics.py:129-157`): MMD/COV (CD & EMD)
+    and 1-NNA (CD & EMD)."""
+    results = {}
+    m_rs_cd, m_rs_emd = pairwise_emd_cd(ref_pcs, sample_pcs, batch_size,
+                                        verbose=verbose)
+    for name, mat in (("CD", m_rs_cd), ("EMD", m_rs_emd)):
+        for k, v in lgan_mmd_cov(mat.T).items():
+            results[f"{k}-{name}"] = v
+    m_rr_cd, m_rr_emd = pairwise_emd_cd(ref_pcs, ref_pcs, batch_size,
+                                        verbose=verbose)
+    m_ss_cd, m_ss_emd = pairwise_emd_cd(sample_pcs, sample_pcs, batch_size,
+                                        verbose=verbose)
+    for name, (rr, rs, ss) in (("CD", (m_rr_cd, m_rs_cd, m_ss_cd)),
+                               ("EMD", (m_rr_emd, m_rs_emd, m_ss_emd))):
+        one_nn = knn_classifier(rr, rs, ss, k=1, sqrt=False)
+        results.update({f"1-NN-{name}-{k}": v for k, v in one_nn.items()
+                        if "acc" in k})
+    return results
+
+
+# ---------------------------------------------------------------------------
+# JSD (occupancy grids, `evaluation_metrics.py:163-278`)
+
+
+def unit_cube_grid_point_cloud(resolution: int, clip_sphere: bool = False):
+    spacing = 1.0 / (resolution - 1)
+    lin = np.arange(resolution, dtype=np.float32) * spacing - 0.5
+    grid = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), axis=-1)
+    if clip_sphere:
+        grid = grid.reshape(-1, 3)
+        grid = grid[np.linalg.norm(grid, axis=1) <= 0.5]
+    return grid, spacing
+
+
+def entropy_of_occupancy_grid(pclouds, grid_resolution: int,
+                              in_sphere: bool = False):
+    """Occupancy-grid entropy + per-cell counters.  Nearest grid cell of a
+    regular grid is computed by direct rounding (exact — the reference's
+    sklearn NearestNeighbors over grid centers is equivalent, and its import
+    is actually commented out in the reference, `evaluation_metrics.py:5`)."""
+    pclouds = np.asarray(pclouds)
+    res = grid_resolution
+    spacing = 1.0 / (res - 1)
+    n_cells = res ** 3
+    grid_counters = np.zeros(n_cells)
+    grid_bernoulli = np.zeros(n_cells)
+    for pc in pclouds:
+        idx3 = np.clip(np.round((pc + 0.5) / spacing).astype(np.int64), 0, res - 1)
+        lin = idx3[:, 0] * res * res + idx3[:, 1] * res + idx3[:, 2]
+        np.add.at(grid_counters, lin, 1)
+        grid_bernoulli[np.unique(lin)] += 1
+    n = float(len(pclouds))
+    occupied = grid_bernoulli[grid_bernoulli > 0] / n
+    acc_entropy = sum(entropy([p, 1.0 - p]) for p in occupied)
+    return acc_entropy / n_cells, grid_counters
+
+
+def jensen_shannon_divergence(p, q):
+    p = np.asarray(p, np.float64)
+    q = np.asarray(q, np.float64)
+    if (p < 0).any() or (q < 0).any():
+        raise ValueError("negative values")
+    if len(p) != len(q):
+        raise ValueError("non-equal size")
+    p = p / p.sum()
+    q = q / q.sum()
+    e1, e2 = entropy(p, base=2), entropy(q, base=2)
+    return entropy((p + q) / 2.0, base=2) - (e1 + e2) / 2.0
+
+
+def jsd_between_point_cloud_sets(sample_pcs, ref_pcs, resolution: int = 28):
+    """(`evaluation_metrics.py:184-195`)."""
+    s = entropy_of_occupancy_grid(sample_pcs, resolution, True)[1]
+    r = entropy_of_occupancy_grid(ref_pcs, resolution, True)[1]
+    return jsd_between_counters(s, r)
+
+
+def jsd_between_counters(s, r):
+    return jensen_shannon_divergence(s, r)

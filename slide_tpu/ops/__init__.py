@@ -27,6 +27,10 @@ from slide_tpu.ops.grouping import (
     pool_features,
     three_interpolate,
 )
+from slide_tpu.ops.emd import (
+    approx_match,
+    earth_mover_distance,
+)
 from slide_tpu.ops.chamfer import (
     chamfer_parts,
     calc_cd,
@@ -48,6 +52,8 @@ __all__ = [
     "masked_avg_pool",
     "pool_features",
     "three_interpolate",
+    "approx_match",
+    "earth_mover_distance",
     "chamfer_parts",
     "calc_cd",
     "fscore",

@@ -1,0 +1,72 @@
+"""Approximate Earth Mover's Distance — TPU-native equivalent of the
+reference's `approxmatch` CUDA kernel (Fan et al.,
+`models/pvd/metrics/PyTorchEMD/cuda/emd_kernel.cu:26-158`, python wrapper
+`metrics_point_cloud/emd.py:6-72`).
+
+Algorithm (faithful to the kernel): soft matching refined over 10 annealing
+levels level = -4^j for j = 7..-1 plus a final level 0; each round computes
+row ratios from the remaining left mass, consumes right mass capped at its
+remainder, and accumulates the transported mass into the match matrix.  Each
+round is a handful of (n, m) matrix products — MXU work — so the whole thing
+is a `lax.scan` over 10 levels.
+
+Cost = sum(match * euclidean distance) / max(n, m).  As in the reference's
+backward (`emd.py:23-28`), the match is treated as a constant: gradients flow
+only through the distance term (we stop_gradient the match).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from slide_tpu.ops.neighbors import pairwise_sqdist
+
+
+def approx_match(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
+    """Approximate transport plan between (B, n, 3) and (B, m, 3) clouds.
+    Returns match (B, n, m) with row sums ~ multiL and col sums ~ multiR
+    (kernel's match is stored transposed; orientation here is [n, m])."""
+    b, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    d = pairwise_sqdist(xyz1, xyz2)                     # (B, n, m)
+    # integer-division mass multipliers (emd_kernel.cu:29-35)
+    if n >= m:
+        multi_l, multi_r = 1.0, float(n // m)
+    else:
+        multi_l, multi_r = float(m // n), 1.0
+
+    levels = -np.power(4.0, np.arange(7, -2, -1, dtype=np.float64))
+    levels = jnp.asarray(np.append(levels, 0.0), jnp.float32)   # j=7..-1, then 0
+
+    def round_fn(carry, level):
+        match, remain_l, remain_r = carry
+        w = jnp.exp(level * d)                                   # (B, n, m)
+        suml = jnp.einsum("bnm,bm->bn", w, remain_r) + 1e-9
+        ratio_l = remain_l / suml                                # (B, n)
+        sumr = jnp.einsum("bnm,bn->bm", w, ratio_l) * remain_r
+        consumption = jnp.minimum(remain_r / (sumr + 1e-9), 1.0)
+        ratio_r = consumption * remain_r
+        remain_r = jnp.maximum(0.0, remain_r - sumr)
+        delta = w * ratio_l[:, :, None] * ratio_r[:, None, :]
+        match = match + delta
+        remain_l = jnp.maximum(0.0, remain_l - delta.sum(axis=2))
+        return (match, remain_l, remain_r), None
+
+    init = (jnp.zeros((b, n, m), jnp.float32),
+            jnp.full((b, n), multi_l, jnp.float32),
+            jnp.full((b, m), multi_r, jnp.float32))
+    (match, _, _), _ = lax.scan(round_fn, init, levels)
+    return match
+
+
+def earth_mover_distance(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
+    """Per-batch-element approximate EMD (B,), normalized by max(n, m)
+    (`emd.py:12-16`).  Differentiable w.r.t. both clouds through the distance
+    term (match held constant, matching the reference backward)."""
+    match = lax.stop_gradient(approx_match(xyz1, xyz2))
+    dist = jnp.sqrt(jnp.maximum(pairwise_sqdist(xyz1, xyz2), 1e-20))
+    cost = jnp.sum(match * dist, axis=(1, 2))
+    return cost / max(xyz1.shape[1], xyz2.shape[1])
