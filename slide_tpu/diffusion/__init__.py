@@ -16,6 +16,11 @@ from slide_tpu.diffusion.eps import (
     diffusion_training_loss,
     diffusion_sampling,
 )
+from slide_tpu.diffusion.fastdpm import (
+    fast_sampling,
+    get_var_noise,
+    get_step_steps,
+)
 from slide_tpu.diffusion.x0 import (
     get_beta_schedule,
     X0Schedule,
@@ -27,6 +32,7 @@ from slide_tpu.diffusion.x0 import (
 __all__ = [
     "DiffusionSchedule", "calc_diffusion_hyperparams",
     "diffusion_training_loss", "diffusion_sampling",
+    "fast_sampling", "get_var_noise", "get_step_steps",
     "get_beta_schedule", "X0Schedule", "x0_training_loss", "x0_denoise",
     "denoising_step",
 ]
