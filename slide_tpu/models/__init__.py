@@ -8,6 +8,8 @@ from slide_tpu.models.upsample_decoder import (point_upsample,
                                                PointUpsampleDecoder,
                                                KeypointDecoder)
 from slide_tpu.models.autoencoder import PointAutoencoder
+from slide_tpu.models.pointwise_net import PointwiseNet, get_pointwise_net
 
 __all__ = ["ConditionalPointNet2", "PointNetEncoder", "point_upsample",
-           "PointUpsampleDecoder", "KeypointDecoder", "PointAutoencoder"]
+           "PointUpsampleDecoder", "KeypointDecoder", "PointAutoencoder",
+           "PointwiseNet", "get_pointwise_net"]

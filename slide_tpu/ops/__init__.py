@@ -27,6 +27,11 @@ from slide_tpu.ops.grouping import (
     pool_features,
     three_interpolate,
 )
+from slide_tpu.ops.voxel import (
+    avg_voxelize,
+    trilinear_devoxelize,
+    normalize_coords_for_voxelization,
+)
 from slide_tpu.ops.emd import (
     approx_match,
     earth_mover_distance,
@@ -52,6 +57,8 @@ __all__ = [
     "masked_avg_pool",
     "pool_features",
     "three_interpolate",
+    "avg_voxelize", "trilinear_devoxelize",
+    "normalize_coords_for_voxelization",
     "approx_match",
     "earth_mover_distance",
     "chamfer_parts",

@@ -16,15 +16,15 @@ import numpy as np
 
 _REF_OPS_LIB = "/root/reference/pointnet2_ops_lib"
 _REF_PNET2 = "/root/reference/pointnet2"
+_REF_ROOT = "/root/reference"
 
 
 def load_reference_modules():
     """Import and return the reference `pointnet2_ops.pointnet2_modules` and
     `pointnet2_ops.attention` torch modules (CPU)."""
-    if _REF_OPS_LIB not in sys.path:
-        sys.path.insert(0, _REF_OPS_LIB)
-    if _REF_PNET2 not in sys.path:
-        sys.path.insert(0, _REF_PNET2)
+    for p in (_REF_OPS_LIB, _REF_PNET2, _REF_ROOT):
+        if p not in sys.path:
+            sys.path.insert(0, p)
     # stub the CUDA extension
     if "pointnet2_ops._ext" not in sys.modules:
         sys.modules["pointnet2_ops._ext"] = types.ModuleType("pointnet2_ops._ext")
