@@ -182,6 +182,113 @@ def run_training(config: dict, state: TrainState, train_step: Callable, *,
 
 
 # ---------------------------------------------------------------------------
+# Checkpoint-time evaluation hooks (reference `train.py:256-292`,
+# `train_autoencoder.py:220-234`, `train_upsampler.py` eval):
+# every checkpoint evaluates the live model AND each EMA shadow; EMA results
+# land under eval_result/model_ema_<rate>/.
+
+
+def make_generation_eval_hook(config: dict, net, sched, *,
+                              data_dir: Optional[str] = None, seed: int = 0):
+    """Eval hook for the DDPM drivers: sample a test set per checkpoint
+    (model + every EMA) via `evaluate_per_rank`."""
+    from slide_tpu.eval import evaluate_per_rank
+
+    train_config = config["train_config"]
+    trainset_config = dict(config["shapenet_psr_dataset_config"])
+    if data_dir is not None:
+        trainset_config["data_dir"] = data_dir
+    ema_rates = tuple(train_config.get("ema_rate") or ())
+    task = train_config["task"]
+    exp_root, _ = experiment_dirs(config)
+    state = {"num_ckpts": 0}
+    pfd = 3 + config["pointnet_config"]["in_fea_dim"]
+
+    def hook(params, ema_list, n_iter):
+        state["num_ckpts"] += 1
+        if state["num_ckpts"] % train_config.get("eval_per_ckpt", 1) != 0:
+            return
+        save_dir = os.path.join(exp_root, "eval_result")
+        ckpt_info = f"_iter_{n_iter}"
+        evaluate_per_rank(net, jax.device_get(params), trainset_config, sched,
+                          save_dir, task, point_feature_dim=pfd,
+                          ckpt_info=ckpt_info, seed=seed)
+        for rate, ema in zip(ema_rates, ema_list):
+            evaluate_per_rank(net, jax.device_get(ema), trainset_config, sched,
+                              os.path.join(save_dir, f"model_ema_{rate:.5f}"),
+                              task, point_feature_dim=pfd,
+                              ckpt_info=ckpt_info, seed=seed)
+
+    return hook
+
+
+def make_ae_eval_hook(config: dict, ae, *, data_dir: Optional[str] = None,
+                      seed: int = 0):
+    """Eval hook for the AE driver: hierarchical visual eval + quantitative
+    history on train and val splits (`train_autoencoder.py:220-234`)."""
+    from slide_tpu.data import get_dataloader
+    from slide_tpu.eval.ae_eval import ae_visual_eval, ae_quantitative_eval
+
+    train_config = config["train_config"]
+    trainset_config = dict(config["shapenet_psr_dataset_config"])
+    if data_dir is not None:
+        trainset_config["data_dir"] = data_dir
+    exp_root, _ = experiment_dirs(config)
+    state = {"num_ckpts": 0}
+
+    def hook(params, ema_list, n_iter):
+        state["num_ckpts"] += 1
+        if state["num_ckpts"] % train_config.get("eval_per_ckpt", 1) != 0:
+            return
+        save_dir = os.path.join(exp_root, "eval_result")
+        params_h = jax.device_get(params)
+        vis_loader = get_dataloader(trainset_config, phase="val", seed=seed)
+        ae_visual_eval(ae, params_h, vis_loader, save_dir, n_iter, 0,
+                       trainset_config, seed=seed)
+        for phase, sub in (("train", "trainset_eval"), ("val", "valset_eval")):
+            loader = get_dataloader(trainset_config, phase=phase, seed=seed)
+            ae_quantitative_eval(ae, params_h, loader,
+                                 os.path.join(save_dir, sub), n_iter, 0,
+                                 trainset_config, seed=seed)
+        if trainset_config.get("keypoint_noise_magnitude", 0) > 0:
+            cfg0 = dict(trainset_config, keypoint_noise_magnitude=0)
+            loader = get_dataloader(trainset_config, phase="val", seed=seed)
+            ae_quantitative_eval(ae, params_h, loader,
+                                 os.path.join(save_dir, "valset_eval_keypoint_noise_0"),
+                                 n_iter, 0, cfg0, seed=seed)
+
+    return hook
+
+
+def make_sap_eval_hook(config: dict, net, dpsr, *,
+                       data_dir: Optional[str] = None, seed: int = 0):
+    """Eval hook for the SAP driver: DPSR-grid L2 on the val split — the
+    checkpoint-selection metric (`train_upsampler.py` + `dpsr_evaluation.py:
+    88-150`)."""
+    from slide_tpu.data import get_dataloader
+    from slide_tpu.eval import sap_grid_eval
+
+    train_config = config["train_config"]
+    trainset_config = dict(config["shapenet_psr_dataset_config"])
+    if data_dir is not None:
+        trainset_config["data_dir"] = data_dir
+    exp_root, _ = experiment_dirs(config)
+    state = {"num_ckpts": 0}
+
+    def hook(params, ema_list, n_iter):
+        state["num_ckpts"] += 1
+        if state["num_ckpts"] % train_config.get("eval_per_ckpt", 1) != 0:
+            return
+        loader = get_dataloader(trainset_config, phase="val", seed=seed)
+        sap_grid_eval(net, jax.device_get(params), dpsr, loader,
+                      config["pointnet_config"], config["dpsr_config"],
+                      trainset_config, os.path.join(exp_root, "eval_result"),
+                      n_iter, 0, scale=trainset_config["scale"], seed=seed)
+
+    return hook
+
+
+# ---------------------------------------------------------------------------
 # Position / point DDPM (train.py)
 
 
@@ -259,6 +366,9 @@ def train_position_ddpm(config: dict, *, data_dir: Optional[str] = None,
                          label=jnp.zeros((2,), jnp.int32))
     state = _init_state(variables["params"], optimizer, ema_rates)
     step = make_train_step(net, sched, optimizer, ema_rates, task, trainset_config)
+    if eval_hook == "auto":
+        eval_hook = make_generation_eval_hook(config, net, sched,
+                                              data_dir=data_dir, seed=seed)
     return run_training(config, state, step, data_dir=data_dir, mesh=mesh,
                         max_iters=max_iters, seed=seed, eval_hook=eval_hook,
                         verbose=verbose)
@@ -328,6 +438,8 @@ def train_autoencoder(config: dict, *, data_dir: Optional[str] = None,
         label=jnp.zeros((2,), jnp.int32))
     state = _init_state(variables["params"], optimizer, ema_rates)
     step = make_ae_train_step(ae, optimizer, ema_rates, trainset_config)
+    if eval_hook == "auto":
+        eval_hook = make_ae_eval_hook(config, ae, data_dir=data_dir, seed=seed)
     return run_training(config, state, step, data_dir=data_dir, mesh=mesh,
                         max_iters=max_iters, seed=seed, eval_hook=eval_hook,
                         verbose=verbose)
@@ -439,6 +551,9 @@ def train_upsampler(config: dict, *, ae_params=None,
                                      trainset_config, dpsr_config, pc,
                                      ae=ae, ae_params=ae_params,
                                      noise_magnitude=noise_magnitude)
+    if eval_hook == "auto":
+        eval_hook = make_sap_eval_hook(config, net, dpsr, data_dir=data_dir,
+                                       seed=seed)
     return run_training(config, state, step, data_dir=data_dir, mesh=mesh,
                         max_iters=max_iters, seed=seed, eval_hook=eval_hook,
                         verbose=verbose)
