@@ -90,7 +90,8 @@ def _build_sa_stack(hp: Mapping, npoint, radius, nsample, feature_dim, mlp_depth
             bn_first=hp["bn_first"], bias=hp["bias"], first_conv=first_conv,
             first_conv_in_channel=in_fea_dim, res_connect=hp["res_connect"],
             activation=activation, attention_setting=attention_setting,
-            global_attention_setting=global_attention_setting if use_gatt else None))
+            global_attention_setting=global_attention_setting if use_gatt else None,
+            record_neighbor_stats=hp.get("record_neighbor_stats", False)))
     return mods
 
 
@@ -258,7 +259,8 @@ class ConditionalPointNet2(nn.Module):
                     res_connect=hp["res_connect"], first_conv=first_conv,
                     first_conv_in_channel=partial_in_fea_dim,
                     activation=self.activation_name,
-                    attention_setting=fm_attention, query_feature_dim=query_dim))
+                    attention_setting=fm_attention, query_feature_dim=query_dim,
+                    record_neighbor_stats=hp.get("record_neighbor_stats", False)))
             self.encoder_feature_map = tuple(enc_maps)
 
             cond_dec_dim = cond_arch["decoder_feature_dim"]
@@ -288,7 +290,8 @@ class ConditionalPointNet2(nn.Module):
                     res_connect=hp["res_connect"], first_conv=False,
                     activation=self.activation_name,
                     attention_setting=fm_attention,
-                    query_feature_dim=decoder_feature_dim[i]))
+                    query_feature_dim=decoder_feature_dim[i],
+                    record_neighbor_stats=hp.get("record_neighbor_stats", False)))
             self.decoder_feature_map = tuple(dec_maps)
             self.enc_map_dim = enc_map_dim
             self.dec_map_dim = dec_map_dim

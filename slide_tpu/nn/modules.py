@@ -41,6 +41,20 @@ def _use_global_attention(setting: Optional[dict]) -> bool:
     return bool(setting) and bool(setting.get("use_global_attention_module", False))
 
 
+_QUANTILES = jnp.linspace(0.0, 1.0, 11)
+
+
+def _sow_neighbor_stats(module: nn.Module, counts):
+    """Neighbor-count observability (`pointnet2_utils.py:432-437`): min/mean/
+    max + 0..1 quantiles of per-query neighbor counts, sown into the
+    'neighbor_stats' collection (read back via
+    apply(..., mutable=['neighbor_stats']))."""
+    c = counts.astype(jnp.float32)
+    module.sow("neighbor_stats", "min_mean_max",
+               jnp.stack([c.min(), c.mean(), c.max()]))
+    module.sow("neighbor_stats", "quantile", jnp.quantile(c, _QUANTILES))
+
+
 class SAModule(nn.Module):
     """Set abstraction: FPS-downsample to `npoint` centers, group each center's
     neighborhood, run the injection MLP, pool (attention or max/avg)
@@ -71,6 +85,7 @@ class SAModule(nn.Module):
     activation: str = "relu"
     attention_setting: Optional[dict] = None
     global_attention_setting: Optional[dict] = None
+    record_neighbor_stats: bool = False
 
     @nn.compact
     def __call__(self, xyz, features, t_emb=None, condition_emb=None,
@@ -102,6 +117,8 @@ class SAModule(nn.Module):
             neighbor_def=self.neighbor_def, use_xyz=self.use_xyz,
             include_abs_coordinate=self.include_abs_coordinate,
             include_center_coordinate=self.include_center_coordinate, subset=True)
+        if self.record_neighbor_stats:
+            _sow_neighbor_stats(self, counts)
 
         out = InjectionMLP(
             spec, bn=self.bn, include_t=self.include_t, bn_first=self.bn_first,
@@ -353,6 +370,7 @@ class FeatureMapModule(nn.Module):
     activation: str = "relu"
     attention_setting: Optional[dict] = None
     query_feature_dim: Optional[int] = None
+    record_neighbor_stats: bool = False
 
     @nn.compact
     def __call__(self, xyz, features, new_xyz, features_at_new_xyz=None,
@@ -372,6 +390,8 @@ class FeatureMapModule(nn.Module):
             neighbor_def=self.neighbor_def, use_xyz=self.use_xyz,
             include_abs_coordinate=self.include_abs_coordinate,
             include_center_coordinate=self.include_center_coordinate, subset=subset)
+        if self.record_neighbor_stats:
+            _sow_neighbor_stats(self, counts)
 
         out = InjectionMLP(
             spec, bn=self.bn, include_t=False, bn_first=self.bn_first,
