@@ -31,6 +31,17 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _use_pallas_fps() -> bool:
+    """Opt-in switch for the Pallas FPS kernel (env SLIDE_TPU_PALLAS_FPS=1).
+
+    Kept opt-in rather than automatic because a pallas_call inside a
+    pjit-sharded train step is not auto-partitionable — the default jnp scan
+    shards transparently with the batch; the kernel shines in single-chip
+    inference/eval paths with large K."""
+    import os
+    return os.environ.get("SLIDE_TPU_PALLAS_FPS", "0") == "1"
+
+
 @functools.partial(jax.jit, static_argnames=("k", "num_forced"))
 def furthest_point_sample(xyz: jax.Array, k: int, start_idx=0, num_forced: int = 0):
     """Iterative max-min sampling of `k` points.
@@ -50,6 +61,10 @@ def furthest_point_sample(xyz: jax.Array, k: int, start_idx=0, num_forced: int =
     b, n, _ = xyz.shape
     if k > n:
         raise ValueError(f"cannot sample {k} points from {n}")
+    if _use_pallas_fps():
+        from slide_tpu.ops.pallas.fps import fps_pallas, pallas_available
+        if pallas_available():
+            return fps_pallas(xyz, k, start_idx=start_idx, num_forced=num_forced)
     start = jnp.broadcast_to(jnp.asarray(start_idx, jnp.int32), (b,))
 
     def one_cloud(pts, s0):
