@@ -1,0 +1,151 @@
+"""End-to-end generation pipeline benchmark — the BASELINE.md north star:
+position DDPM (T=1000) -> feature DDPM (T=1000, keypoint-conditional) ->
+autoencoder decode (16 -> 2048 pts) -> SAP refine+upsample -> DPSR 128^3 ->
+marching tetrahedra, at full shipped-config model sizes (untrained weights —
+throughput is weight-independent).
+
+Usage: python benchmarks/e2e_pipeline.py [--batch 16] [--t 1000] [--fastdpm N]
+Prints per-stage timings and meshes/sec/chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--t", type=int, default=1000)
+    ap.add_argument("--fastdpm", type=int, default=0,
+                    help="if >0, use FastDPM STEP sampling with this many steps "
+                         "for the position chain")
+    ap.add_argument("--skip-mesh", action="store_true")
+    args = ap.parse_args()
+
+    from slide_tpu.configs import (keypoint_ddpm_config, latent_ddpm_config,
+                                   autoencoder_config, upsampler_config)
+    from slide_tpu.models import ConditionalPointNet2
+    from slide_tpu.train import build_autoencoder
+    from slide_tpu.diffusion import (calc_diffusion_hyperparams,
+                                     diffusion_sampling, fast_sampling)
+    from slide_tpu.diffusion.x0 import X0Schedule, x0_denoise
+    from slide_tpu.sap import DPSR, mirror_and_concat, network_output_to_dpsr_grid
+    from slide_tpu.sap.marching import mc_from_psr
+
+    b = args.batch
+    label = jnp.zeros((b,), jnp.int32)
+    key = jax.random.key(0)
+
+    # ---- stage models (full shipped sizes)
+    kp_cfg = keypoint_ddpm_config("airplane")
+    kp_cfg["diffusion_config"]["T"] = args.t
+    kp_net = ConditionalPointNet2(kp_cfg["pointnet_config"])
+    kp_vars = kp_net.init(jax.random.key(1), jnp.zeros((2, 16, 3)),
+                          ts=jnp.zeros((2,), jnp.int32),
+                          label=jnp.zeros((2,), jnp.int32))
+    kp_sched = calc_diffusion_hyperparams(args.t, 1e-4, 0.02)
+
+    lat_cfg = latent_ddpm_config("airplane")
+    lat_cfg["standard_diffusion_config"]["num_diffusion_timesteps"] = args.t
+    lat_net = ConditionalPointNet2(lat_cfg["pointnet_config"])
+    lat_vars = lat_net.init(jax.random.key(2), jnp.zeros((2, 16, 51)),
+                            ts=jnp.zeros((2,), jnp.int32),
+                            label=jnp.zeros((2,), jnp.int32))
+    lat_sched = X0Schedule.from_config(lat_cfg["standard_diffusion_config"])
+
+    ae_cfg = autoencoder_config("airplane")
+    ae = build_autoencoder(ae_cfg["pointnet_config"])
+    ae_vars = ae.init({"params": jax.random.key(3),
+                       "gaussian": jax.random.key(4), "fps": jax.random.key(5)},
+                      jnp.zeros((2, 2048, 6)), jnp.zeros((2, 16, 3)),
+                      label=jnp.zeros((2,), jnp.int32))
+
+    sap_cfg = upsampler_config()
+    sap_net = ConditionalPointNet2(sap_cfg["pointnet_config"])
+    sap_vars = sap_net.init(jax.random.key(6), jnp.zeros((2, 2048, 7)),
+                            ts=None, label=jnp.zeros((2,), jnp.int32))
+    dpsr = DPSR((128, 128, 128), sig=2)
+
+    # ---- jitted stage functions
+    def kp_net_fn(x, ts):
+        return kp_net.apply(kp_vars, x, ts=ts, label=label)
+
+    if args.fastdpm > 0:
+        sample_kp = jax.jit(lambda k: fast_sampling(
+            kp_net_fn, k, (b, 16, 3), kp_sched, kp_cfg["diffusion_config"],
+            length=args.fastdpm, sampling_method="step", schedule="quadratic",
+            kappa=0.5))
+    else:
+        sample_kp = jax.jit(lambda k: diffusion_sampling(
+            kp_net_fn, k, (b, 16, 3), kp_sched))
+
+    def lat_net_fn(x, ts):
+        return lat_net.apply(lat_vars, x, ts=ts, label=label)
+
+    sample_lat = jax.jit(lambda k, kp: x0_denoise(
+        lat_net_fn, k, (b, 16, 51), lat_sched, keypoint=kp, keypoint_dim=3))
+
+    decode = jax.jit(lambda kp, feat, k: ae.apply(
+        {"params": ae_vars["params"]}, kp, feat, label=label, method=ae.decode,
+        rngs={"fps": k}))
+
+    def sap_fn(x, k):
+        xm = mirror_and_concat(x, axis=2, num_points=(), attach_label=True,
+                               permute=True, key=k)[0]
+        disp = sap_net.apply(sap_vars, xm, ts=None, label=label)
+        grid, _, _ = network_output_to_dpsr_grid(
+            xm, disp, dpsr, 1, sap_cfg["pointnet_config"],
+            last_dim_as_indicator=True, explicit_normalize=True)
+        return grid
+
+    sap = jax.jit(sap_fn)
+
+    def run_once(key):
+        ks = jax.random.split(key, 4)
+        t0 = time.perf_counter()
+        kp = jax.block_until_ready(sample_kp(ks[0]))
+        t1 = time.perf_counter()
+        latent = jax.block_until_ready(sample_lat(ks[1], kp))
+        t2 = time.perf_counter()
+        cloud = jax.block_until_ready(decode(latent[..., :3], latent[..., 3:], ks[2]))
+        t3 = time.perf_counter()
+        grid = jax.block_until_ready(sap(cloud, ks[3]))
+        t4 = time.perf_counter()
+        n_mesh = 0
+        if not args.skip_mesh:
+            grid_np = np.asarray(grid)
+            for i in range(b):
+                try:
+                    mc_from_psr(grid_np[i:i + 1])
+                    n_mesh += 1
+                except ValueError:
+                    pass
+        t5 = time.perf_counter()
+        return {"position_ddpm_s": t1 - t0, "feature_ddpm_s": t2 - t1,
+                "ae_decode_s": t3 - t2, "sap_dpsr_s": t4 - t3,
+                "marching_s": t5 - t4, "total_s": t5 - t0, "meshes": n_mesh}
+
+    print("compiling + warmup ...", flush=True)
+    warm = run_once(jax.random.key(100))
+    print("warmup:", json.dumps({k: round(v, 3) for k, v in warm.items()}),
+          flush=True)
+    res = run_once(jax.random.key(101))
+    res["batch"] = b
+    res["shapes_per_sec"] = b / res["total_s"]
+    print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
+                      for k, v in res.items()}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

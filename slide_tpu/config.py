@@ -72,6 +72,33 @@ def write_json_file(path: str, config: dict, reference_style: bool = False):
         json.dump(cfg, f, indent=4)
 
 
+def find_config_file(file_name: str) -> str:
+    """Config discovery (`pointnet2/util.py:322-351`): given a config path or
+    a directory, return the config json — preferring the file with the largest
+    number in its name (checkpoint-iteration convention)."""
+    import re
+
+    if "config" in file_name and file_name.endswith(".json"):
+        if os.path.isfile(file_name):
+            return file_name
+        file_path = os.path.split(file_name)[0]
+    elif os.path.isdir(file_name):
+        file_path = file_name
+    else:
+        raise FileNotFoundError(file_name)
+    files = [f for f in os.listdir(file_path)
+             if "config" in f and f.endswith(".json")]
+    if not files:
+        raise FileNotFoundError(f"no config json under {file_path}")
+    best, best_num = files[0], -1
+    for f in files:
+        nums = [int(n) for n in re.findall(r"\d+", f)]
+        num = max(nums) if nums else -1
+        if num > best_num:
+            best, best_num = f, num
+    return os.path.join(file_path, best)
+
+
 def autoencoder_read_config(config_dir: str, config: dict):
     """Resolve the autoencoder's config tree: the main config points at an
     encoder config file and a list of decoder config files
