@@ -12,7 +12,7 @@ from slide_tpu.train.checkpoint import (save_checkpoint, load_checkpoint,
                                         find_max_iter)
 from slide_tpu.train.driver import (train_position_ddpm, train_autoencoder,
                                     train_latent_ddpm, train_upsampler,
-                                    build_autoencoder,
+                                    build_autoencoder, build_network,
                                     make_data_mesh, run_training,
                                     experiment_dirs)
 
@@ -21,5 +21,5 @@ __all__ = [
     "save_checkpoint", "load_checkpoint", "find_max_iter",
     "train_position_ddpm", "train_autoencoder", "train_latent_ddpm",
     "train_upsampler",
-    "build_autoencoder", "make_data_mesh", "run_training", "experiment_dirs",
+    "build_autoencoder", "build_network", "make_data_mesh", "run_training", "experiment_dirs",
 ]

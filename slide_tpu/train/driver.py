@@ -40,6 +40,23 @@ class TrainState(struct.PyTreeNode):
     ema: tuple  # tuple of param pytrees, parallel to ema_rates
 
 
+def build_network(pointnet_config: dict):
+    """network_type dispatch (`train.py:101-107`, `train_latent_ddpm.py:
+    95-101`): 'pointnet++' (default) -> ConditionalPointNet2,
+    'pointwise_net' -> PointwiseNet(network_args), 'pvd' -> PVCNN2."""
+    nt = pointnet_config.get("network_type", "pointnet++")
+    if nt == "pointnet++":
+        return ConditionalPointNet2(pointnet_config)
+    if nt == "pointwise_net":
+        from slide_tpu.models import get_pointwise_net
+        return get_pointwise_net(pointnet_config["network_args"])
+    if nt == "pvd":
+        from slide_tpu.models import PVCNN2
+        args = dict(pointnet_config.get("network_args", {}))
+        return PVCNN2(**args)
+    raise ValueError(f"network_type {nt} is not supported")
+
+
 def make_data_mesh(devices=None) -> Mesh:
     devices = jax.devices() if devices is None else devices
     return Mesh(np.asarray(devices), ("data",))
@@ -352,7 +369,7 @@ def train_position_ddpm(config: dict, *, data_dir: Optional[str] = None,
     dc = config["diffusion_config"]
     task = train_config["task"]
     sched = calc_diffusion_hyperparams(dc["T"], dc["beta_0"], dc["beta_T"])
-    net = ConditionalPointNet2(config["pointnet_config"])
+    net = build_network(config["pointnet_config"])
     optimizer = optax.adam(train_config["learning_rate"])
     ema_rates = tuple(train_config.get("ema_rate") or ())
 
@@ -532,7 +549,7 @@ def train_upsampler(config: dict, *, ae_params=None,
     dpsr_config = config["dpsr_config"]
     res = (dpsr_config["grid_res"],) * 3
     dpsr = DPSR(res, sig=dpsr_config["psr_sigma"])
-    net = ConditionalPointNet2(pc)
+    net = build_network(pc)
     optimizer = optax.adam(train_config["learning_rate"])
     ema_rates = tuple(train_config.get("ema_rate") or ())
 
@@ -611,7 +628,7 @@ def train_latent_ddpm(config: dict, ae_params, *, data_dir: Optional[str] = None
     trainset_config = config["shapenet_psr_dataset_config"]
     sdc = config["standard_diffusion_config"]
     sched = X0Schedule.from_config(sdc)
-    net = ConditionalPointNet2(config["pointnet_config"])
+    net = build_network(config["pointnet_config"])
     ae = build_autoencoder(config["autoencoder_config"]["pointnet_config"])
     optimizer = optax.adam(train_config["learning_rate"])
     ema_rates = tuple(train_config.get("ema_rate") or ())
