@@ -17,10 +17,30 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# allow CPU-side param init alongside the TPU (tunnel compiles are slow)
+os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+
+
+def _cpu_init(fn, *args, **kwargs):
+    """Run a flax init on CPU (local compile) and ship params to the default
+    accelerator — the remote-compile tunnel makes on-TPU init traces cost
+    minutes each."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = fn(*args, **kwargs)
+    return jax.device_put(variables, jax.devices()[0])
+
+
+def _log(msg, t0):
+    print(f"[{time.perf_counter() - t0:7.1f}s] {msg}", flush=True)
 
 
 def main():
@@ -46,35 +66,40 @@ def main():
     b = args.batch
     label = jnp.zeros((b,), jnp.int32)
     key = jax.random.key(0)
+    t_start = time.perf_counter()
 
     # ---- stage models (full shipped sizes)
     kp_cfg = keypoint_ddpm_config("airplane")
     kp_cfg["diffusion_config"]["T"] = args.t
     kp_net = ConditionalPointNet2(kp_cfg["pointnet_config"])
-    kp_vars = kp_net.init(jax.random.key(1), jnp.zeros((2, 16, 3)),
-                          ts=jnp.zeros((2,), jnp.int32),
-                          label=jnp.zeros((2,), jnp.int32))
+    kp_vars = _cpu_init(kp_net.init, jax.random.key(1), jnp.zeros((2, 16, 3)),
+                        ts=jnp.zeros((2,), jnp.int32),
+                        label=jnp.zeros((2,), jnp.int32))
+    _log("position net init", t_start)
     kp_sched = calc_diffusion_hyperparams(args.t, 1e-4, 0.02)
 
     lat_cfg = latent_ddpm_config("airplane")
     lat_cfg["standard_diffusion_config"]["num_diffusion_timesteps"] = args.t
     lat_net = ConditionalPointNet2(lat_cfg["pointnet_config"])
-    lat_vars = lat_net.init(jax.random.key(2), jnp.zeros((2, 16, 51)),
-                            ts=jnp.zeros((2,), jnp.int32),
-                            label=jnp.zeros((2,), jnp.int32))
+    lat_vars = _cpu_init(lat_net.init, jax.random.key(2), jnp.zeros((2, 16, 51)),
+                         ts=jnp.zeros((2,), jnp.int32),
+                         label=jnp.zeros((2,), jnp.int32))
+    _log("latent net init", t_start)
     lat_sched = X0Schedule.from_config(lat_cfg["standard_diffusion_config"])
 
     ae_cfg = autoencoder_config("airplane")
     ae = build_autoencoder(ae_cfg["pointnet_config"])
-    ae_vars = ae.init({"params": jax.random.key(3),
-                       "gaussian": jax.random.key(4), "fps": jax.random.key(5)},
-                      jnp.zeros((2, 2048, 6)), jnp.zeros((2, 16, 3)),
-                      label=jnp.zeros((2,), jnp.int32))
+    ae_vars = _cpu_init(ae.init, {"params": jax.random.key(3),
+                        "gaussian": jax.random.key(4), "fps": jax.random.key(5)},
+                        jnp.zeros((2, 2048, 6)), jnp.zeros((2, 16, 3)),
+                        label=jnp.zeros((2,), jnp.int32))
+    _log("autoencoder init", t_start)
 
     sap_cfg = upsampler_config()
     sap_net = ConditionalPointNet2(sap_cfg["pointnet_config"])
-    sap_vars = sap_net.init(jax.random.key(6), jnp.zeros((2, 2048, 7)),
-                            ts=None, label=jnp.zeros((2,), jnp.int32))
+    sap_vars = _cpu_init(sap_net.init, jax.random.key(6), jnp.zeros((2, 2048, 7)),
+                         ts=None, label=jnp.zeros((2,), jnp.int32))
+    _log("sap net init", t_start)
     dpsr = DPSR((128, 128, 128), sig=2)
 
     # ---- jitted stage functions

@@ -59,10 +59,16 @@ def marching_tetrahedra(vol: np.ndarray, level: float = 0.0):
     """
     vol = np.asarray(vol, np.float64)
     r0, r1, r2 = vol.shape
-    # cube base corners
-    bx, by, bz = np.meshgrid(np.arange(r0 - 1), np.arange(r1 - 1),
-                             np.arange(r2 - 1), indexing="ij")
-    base = np.stack([bx, by, bz], axis=-1).reshape(-1, 3)        # (C, 3)
+    # prefilter: only cubes whose corners straddle the level contribute
+    # triangles (a ~100x reduction at 128^3 — without this the host pass takes
+    # seconds per grid)
+    inside_count = np.zeros((r0 - 1, r1 - 1, r2 - 1), np.int8)
+    for dx, dy, dz in _CORNERS:
+        inside_count += (vol[dx:r0 - 1 + dx, dy:r1 - 1 + dy,
+                             dz:r2 - 1 + dz] > level)
+    crossing = (inside_count > 0) & (inside_count < 8)
+    bx, by, bz = np.nonzero(crossing)
+    base = np.stack([bx, by, bz], axis=-1)                        # (C, 3)
     corner_idx = base[:, None, :] + _CORNERS[None, :, :]          # (C, 8, 3)
     lin = (corner_idx[..., 0] * (r1 * r2) + corner_idx[..., 1] * r2
            + corner_idx[..., 2])                                  # (C, 8)
