@@ -41,7 +41,7 @@ def evaluate_per_rank(net, params, trainset_config: dict, sched, save_dir: str,
                       split_points_and_normals: bool = False,
                       save_keypoint_feature: bool = False, seed: int = 0,
                       use_dummy_dataset: Optional[bool] = None,
-                      visualize: bool = False):
+                      visualize: bool = False, mesh=None):
     """Sample and write this rank's npz shard.  `latent_sampler`, if given,
     replaces the eps-engine chain (latent diffusion tasks):
       latent_sampler(key, batch, label, keypoint) ->
@@ -89,17 +89,29 @@ def evaluate_per_rank(net, params, trainset_config: dict, sched, save_dir: str,
                                 random_subsample=True,
                                 num_samples=cfg["num_samples_tested"], seed=seed)
 
-    sample_shape_dim = 3 + point_feature_dim - 3  # channels beyond xyz
-    del sample_shape_dim
-
-    @jax.jit
-    def sample_batch(key, label, condition):
+    def _sample_impl(key, label, condition):
         def net_fn(x, ts):
             return net.apply({"params": params}, x, condition=condition,
                              ts=ts, label=label)
         b = label.shape[0]
         return diffusion_sampling(net_fn, key, (b, num_points, point_feature_dim),
                                   sched)
+
+    if mesh is not None:
+        # multi-chip generation: shard the sample batch over the mesh's
+        # 'data' axis; the whole T-step scan stays on-device per shard
+        # (BASELINE.md config 5 / SURVEY.md §5.7a)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data_sh = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        sample_batch = jax.jit(_sample_impl,
+                               in_shardings=(repl, data_sh, None),
+                               out_shardings=data_sh)
+        n_dev = mesh.devices.size
+    else:
+        sample_batch = jax.jit(_sample_impl)
+        n_dev = 1
 
     out = {k: [] for k in ("points", "keypoint", "keypoint_feature", "label",
                            "category", "category_name", "gt_points", "timing")}
@@ -135,7 +147,15 @@ def evaluate_per_rank(net, params, trainset_config: dict, sched, save_dir: str,
             if save_keypoint_feature:
                 out["keypoint_feature"].append(np.asarray(kpf))
         else:
-            pts = jax.block_until_ready(sample_batch(k_s, label, condition))
+            pad = (-b) % n_dev
+            if pad:
+                label_in = jnp.concatenate([label, jnp.repeat(label[-1:], pad, 0)])
+                cond_in = None if condition is None else jnp.concatenate(
+                    [condition, jnp.repeat(condition[-1:], pad, 0)])
+            else:
+                label_in, cond_in = label, condition
+            pts = jax.block_until_ready(sample_batch(k_s, label_in, cond_in))
+            pts = pts[:b]
         out["timing"].extend([(time.time() - t_start) / b] * b)
         out["points"].append(np.asarray(pts))
         out["label"].append(np.asarray(label))
