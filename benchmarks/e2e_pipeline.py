@@ -149,13 +149,9 @@ def main():
         t4 = time.perf_counter()
         n_mesh = 0
         if not args.skip_mesh:
-            grid_np = np.asarray(grid)
-            for i in range(b):
-                try:
-                    mc_from_psr(grid_np[i:i + 1])
-                    n_mesh += 1
-                except ValueError:
-                    pass
+            verts_l, _, _ = mc_from_psr(np.asarray(grid),
+                                        num_threads=min(b, os.cpu_count() or 1))
+            n_mesh = sum(1 for v in verts_l if len(v))
         t5 = time.perf_counter()
         return {"position_ddpm_s": t1 - t0, "feature_ddpm_s": t2 - t1,
                 "ae_decode_s": t3 - t2, "sap_dpsr_s": t4 - t3,

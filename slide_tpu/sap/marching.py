@@ -57,7 +57,7 @@ def marching_tetrahedra(vol: np.ndarray, level: float = 0.0):
     normals (V, 3) unit, = -grad field).  Raises ValueError if the surface is
     empty (mirroring skimage's behavior).
     """
-    vol = np.asarray(vol, np.float64)
+    vol = np.asarray(vol, np.float32)
     r0, r1, r2 = vol.shape
     # prefilter: only cubes whose corners straddle the level contribute
     # triangles (a ~100x reduction at 128^3 — without this the host pass takes
@@ -107,8 +107,8 @@ def marching_tetrahedra(vol: np.ndarray, level: float = 0.0):
     def unflatten(ids):
         return np.stack([ids // (r1 * r2), (ids // r2) % r1, ids % r2], -1)
 
-    p0 = unflatten(u_lo).astype(np.float64)
-    p1 = unflatten(u_hi).astype(np.float64)
+    p0 = unflatten(u_lo).astype(np.float32)
+    p1 = unflatten(u_hi).astype(np.float32)
     v0 = flat[u_lo]
     v1 = flat[u_hi]
     t = (level - v0) / np.where(np.abs(v1 - v0) < 1e-12, 1e-12, v1 - v0)
@@ -138,20 +138,39 @@ def marching_tetrahedra(vol: np.ndarray, level: float = 0.0):
     return verts, faces, normals
 
 
-def mc_from_psr(psr_grid, real_scale: bool = False, zero_level: float = 0.0):
+def mc_from_psr(psr_grid, real_scale: bool = False, zero_level: float = 0.0,
+                num_threads: int = 0):
     """Batch iso-surface extraction from a (B, r, r, r) PSR grid, vertices
     scaled to [0, 1) (or [0, 1] with real_scale) — the reference's
     `mc_from_psr` (`utils.py:246-287`).
 
-    Returns (list of verts arrays, list of faces, list of normals).
+    num_threads > 1 extracts batch elements concurrently (numpy releases the
+    GIL in the hot ops).  Returns (list of verts, list of faces,
+    list of normals); an empty surface yields empty arrays for that element
+    when batched (a lone element still raises, matching skimage).
     """
     grid = np.asarray(psr_grid)
     s = grid.shape[-1]
-    verts_l, faces_l, normals_l = [], [], []
-    for i in range(grid.shape[0]):
-        v, f, n = marching_tetrahedra(grid[i], level=zero_level)
+
+    def one(i):
+        try:
+            v, f, n = marching_tetrahedra(grid[i], level=zero_level)
+        except ValueError:
+            if grid.shape[0] == 1:
+                raise
+            return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64),
+                    np.zeros((0, 3), np.float32))
         v = v / (s - 1) if real_scale else v / s
-        verts_l.append(v.astype(np.float32))
-        faces_l.append(f)
-        normals_l.append(n.astype(np.float32))
+        return v.astype(np.float32), f, n.astype(np.float32)
+
+    if num_threads > 1 and grid.shape[0] > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(num_threads) as pool:
+            results = list(pool.map(one, range(grid.shape[0])))
+    else:
+        results = [one(i) for i in range(grid.shape[0])]
+    verts_l = [r[0] for r in results]
+    faces_l = [r[1] for r in results]
+    normals_l = [r[2] for r in results]
     return verts_l, faces_l, normals_l
