@@ -73,6 +73,21 @@ def query_and_group(xyz: jax.Array, new_xyz: jax.Array,
     return jnp.concatenate(parts, axis=-1), counts
 
 
+def group_all(xyz: jax.Array, features: jax.Array | None = None,
+              use_xyz: bool = True):
+    """Group the ENTIRE cloud as one neighborhood — the reference's `GroupAll`
+    (`pointnet2_utils.py:451-494`), used by SA modules with npoint=None.
+
+    Returns (B, 1, N, C[+3]) with channel order [features, xyz]."""
+    grouped_xyz = xyz[:, None, :, :]
+    if features is None:
+        return grouped_xyz
+    grouped = features[:, None, :, :]
+    if use_xyz:
+        return jnp.concatenate([grouped, grouped_xyz], axis=-1)
+    return grouped
+
+
 def group_knn_features(x: jax.Array, y: jax.Array, features_at_y: jax.Array, k: int):
     """kNN grouping with distance/weight augmentation — the reference's
     `group_knn` (`pointnet2_utils.py:497-524`), used by `PointnetKnnFPModule`.

@@ -125,6 +125,29 @@ def sample_keypoints(xyz: jax.Array, k: int, *, add_centroid: bool = True,
     return jnp.take_along_axis(xyz, idx[..., None], axis=1), idx
 
 
+def append_points_to_keypoints(points: jax.Array, initial_points: jax.Array,
+                               k: int, *, only_return_appended: bool = False):
+    """Grow a keypoint set to at least `k` points by FPS over the cloud with
+    the existing keypoints FORCED as the first selections
+    (`data_utils/points_sampling.py:120-154`).
+
+    points (B, N, D), initial_points (B, M, D).  If M >= k the initial points
+    are returned unchanged (with -1 indices, as the reference does).
+    Returns (keypoints (B, max(k, M), D), idx (B, max(k, M))); indices are
+    into the [initial | points] concatenation.
+    """
+    b, m, _ = initial_points.shape
+    if m >= k:
+        idx = jnp.full((b, m), -1, jnp.int32)
+        return initial_points, idx
+    full = jnp.concatenate([initial_points, points], axis=1)
+    idx = furthest_point_sample(full, k, start_idx=0, num_forced=m)
+    sampled = jnp.take_along_axis(full, idx[..., None], axis=1)
+    if only_return_appended:
+        return sampled[:, m:], idx[:, m:]
+    return sampled, idx
+
+
 def fps_subsample(points: jax.Array, k: int, *, start_idx=0):
     """FPS-downsample a (B, N, C) cloud (first 3 channels are xyz) to (B, k, C).
 

@@ -24,10 +24,9 @@ def _to_numpy(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
-def find_max_iter(path: str, ckpt_name: str = "pointnet_ckpt") -> int:
-    """Max saved iteration in `path`, or -1 (`util.py:57-94`)."""
+def _list_iters(path: str, ckpt_name: str):
     if not os.path.isdir(path):
-        return -1
+        return []
     iters = []
     for f in os.listdir(path):
         if f.startswith(ckpt_name + "_") and f.endswith(".pkl") and "best" not in f:
@@ -35,7 +34,28 @@ def find_max_iter(path: str, ckpt_name: str = "pointnet_ckpt") -> int:
                 iters.append(int(f[len(ckpt_name) + 1:-4]))
             except ValueError:
                 pass
-    return max(iters) if iters else -1
+    return iters
+
+
+def find_max_iter(path: str, ckpt_name: str = "pointnet_ckpt",
+                  mode: str = "max"):
+    """Checkpoint selection (`util.py:57-114`): 'max' -> newest iteration (or
+    -1), 'all' -> iterations sorted descending, 'best' -> the iteration with
+    the lowest avg_cd in ../../eval_result/gathered_eval_result.pkl."""
+    iters = _list_iters(path, ckpt_name)
+    if mode == "max":
+        return max(iters) if iters else -1
+    if mode == "all":
+        return sorted(iters, reverse=True)
+    if mode == "best":
+        eval_file = os.path.join(path, "..", "..", "eval_result",
+                                 "gathered_eval_result.pkl")
+        with open(eval_file, "rb") as f:
+            data = pickle.load(f)
+        import numpy as _np
+        idx = int(_np.argmin(_np.asarray(data["avg_cd"])))
+        return data["iter"][idx]
+    raise ValueError(f"{mode} mode is not supported")
 
 
 def save_checkpoint(output_dir: str, n_iter: int, params, opt_state,
