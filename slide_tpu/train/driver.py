@@ -182,6 +182,9 @@ def run_training(config: dict, state: TrainState, train_step: Callable, *,
             state, loss = step_fn(state, db, key)
             if n_iter % iters_per_logging == 0:
                 loss_v = float(loss)
+                if not np.isfinite(loss_v):
+                    raise FloatingPointError(
+                        f"non-finite training loss at iteration {n_iter}")
                 losses.append((n_iter, loss_v))
                 if verbose:
                     print(f"iteration: {n_iter} \tloss: {loss_v:.6f} "

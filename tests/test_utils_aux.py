@@ -81,3 +81,15 @@ def test_global_batch_from_local_single_process():
     assert out["category"] == ["02691156"] * 8
     # array is sharded over the data axis
     assert len(out["points"].sharding.device_set) == mesh.devices.size
+
+
+def test_assert_tree_finite():
+    import pytest
+    from slide_tpu.utils import assert_tree_finite, tree_nonfinite_paths
+    good = {"a": jnp.ones((2,)), "b": {"c": jnp.zeros((3,))}}
+    assert_tree_finite(good)
+    bad = {"a": jnp.ones((2,)), "b": {"c": jnp.asarray([1.0, np.nan])}}
+    paths = tree_nonfinite_paths(bad)
+    assert len(paths) == 1 and "c" in paths[0]
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        assert_tree_finite(bad, "params")
