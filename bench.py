@@ -13,10 +13,25 @@ measured baseline lands.
 """
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_plat = os.environ.get("JAX_PLATFORMS", "")
+if _plat and "cpu" not in _plat:
+    # keep the accelerator first (stays default) but allow CPU-side init
+    os.environ["JAX_PLATFORMS"] = _plat + ",cpu"
 
 import jax
 import jax.numpy as jnp
+
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "benchmarks", ".jax_cache"))
+except Exception:
+    pass
 
 
 A100_REFERENCE_STEPS_PER_SEC = 60.0   # torch loop estimate, see docstring
@@ -30,10 +45,19 @@ def main():
     batch, num_points, t_steps = 200, 16, 1000
     cfg = keypoint_ddpm_config("airplane")
     net = ConditionalPointNet2(cfg["pointnet_config"])
-    x = jnp.zeros((batch, num_points, 3))
+    x = jnp.zeros((2, num_points, 3))
     label = jnp.zeros((batch,), jnp.int32)
-    variables = net.init(jax.random.key(0), x, ts=jnp.zeros((batch,), jnp.int32),
-                         label=label)
+    try:        # init on CPU: the remote-compile tunnel makes on-TPU init slow
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            variables = net.init(jax.random.key(0), x,
+                                 ts=jnp.zeros((2,), jnp.int32),
+                                 label=jnp.zeros((2,), jnp.int32))
+        variables = jax.device_put(variables, jax.devices()[0])
+    except RuntimeError:
+        variables = net.init(jax.random.key(0), x,
+                             ts=jnp.zeros((2,), jnp.int32),
+                             label=jnp.zeros((2,), jnp.int32))
     sched = calc_diffusion_hyperparams(t_steps, 1e-4, 0.02)
 
     def net_fn(xx, ts):
