@@ -1,0 +1,61 @@
+"""Checkpoint-time auto eval hooks: generation hook writes npz (model + every
+EMA shadow dir); AE hook writes visual pickle + quantitative history."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from test_train_e2e import tiny_config
+from test_autoencoder import tiny_ae_config
+from slide_tpu.data import write_synthetic_shapenet_psr
+from slide_tpu.train import train_position_ddpm, train_autoencoder
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("shapenet_hooks")
+    return write_synthetic_shapenet_psr(str(root), categories=("02691156",),
+                                        models_per_split=8, num_points=500)
+
+
+def test_generation_eval_hook(synth_root, tmp_path):
+    cfg = tiny_config(synth_root, str(tmp_path / "exp"))
+    cfg["diffusion_config"]["T"] = 5          # keep checkpoint eval fast
+    cfg["shapenet_psr_dataset_config"].update(num_samples_tested=8,
+                                              eval_batch_size=8)
+    cfg["train_config"].update(epochs_per_ckpt=6, eval_per_ckpt=1)
+    train_position_ddpm(cfg, max_iters=6, seed=0, verbose=False,
+                        eval_hook="auto")
+    eval_dir = os.path.join(str(tmp_path / "exp"),
+                            "T5_betaT0.02_keypoint_ddpm_airplane", "eval_result")
+    main_npz = glob.glob(os.path.join(eval_dir, "*.npz"))
+    assert main_npz, os.listdir(eval_dir)
+    with np.load(main_npz[0]) as d:
+        assert d["points"].shape == (8, 16, 3)
+    for rate in (0.999, 0.9999):
+        ema_dir = os.path.join(eval_dir, f"model_ema_{rate:.5f}")
+        assert glob.glob(os.path.join(ema_dir, "*.npz")), rate
+
+
+def test_ae_eval_hook(synth_root, tmp_path):
+    cfg = tiny_ae_config()
+    cfg["shapenet_psr_dataset_config"].update(
+        data_dir=synth_root, num_workers=0, repeat_dataset=1, batch_size=8,
+        eval_batch_size=8)
+    cfg["train_config"].update(root_directory=str(tmp_path / "ae_exp"),
+                               iters_per_logging=10, epochs_per_ckpt=3,
+                               eval_per_ckpt=1)
+    train_autoencoder(cfg, max_iters=3, seed=0, verbose=False,
+                      eval_hook="auto")
+    exp = glob.glob(os.path.join(str(tmp_path / "ae_exp"), "T*"))[0]
+    eval_dir = os.path.join(exp, "eval_result")
+    assert glob.glob(os.path.join(
+        eval_dir, "shapenet_psr_autoencoder_visualization_result_*.pkl"))
+    for sub in ("trainset_eval", "valset_eval"):
+        hist = os.path.join(
+            eval_dir, sub, "shapenet_psr_autoencoder_quantitative_eval_result.pkl")
+        assert os.path.isfile(hist), sub
+    # keypoint_noise_magnitude > 0 in the preset -> noise-free variant too
+    assert os.path.isdir(os.path.join(eval_dir, "valset_eval_keypoint_noise_0"))
