@@ -139,41 +139,33 @@ def reconstruct_meshes(net, params, dpsr, loader, pointnet_config, dpsr_config,
             only_original_points_split=only_orig,
             explicit_normalize=explicit_normalize)
 
-    key = jax.random.key(seed + rank)
-    rng = np.random.default_rng(seed + rank)
-    batch_idx = 0
-    per_rank = getattr(loader.dataset, "num_samples_per_rank", len(loader.dataset))
-    for data in loader:
-        if "label" not in data:
-            data = dict(data)
-            data["label"] = np.full(np.asarray(data["points"]).shape[0],
-                                    label_number, np.int64)
-        orig_pts = jnp.asarray(data["points"], jnp.float32)
-        center, max_len = compute_center_and_max_length(orig_pts)
-        key, k_b = jax.random.split(key)
-        x, label = _prepare_sap_input(data, trainset_config, dpsr_config, k_b,
-                                      ae_fns=ae_fns,
-                                      noise_magnitude=noise_magnitude)
-        grid, refined_p, refined_n = run_net(x, label)
-        grid = np.asarray(grid)
-        start_idx = per_rank * rank + loader.batch_size * batch_idx
-        cat = data.get("category_name")
-        indicator = np.asarray(x[..., -1]) if mirror_first else None
-        batch_save_pcd(noisy_dir, "noisy_pcd", np.asarray(x[..., :3]),
-                       batch_info=cat, normals=np.asarray(x[..., 3:6]),
-                       indicator=indicator, start_idx=start_idx)
-        batch_save_pcd(refined_dir, "refined_pcd", np.asarray(refined_p),
-                       batch_info=cat, normals=np.asarray(refined_n),
+    # host/device pipelining: mesh extraction + PLY writing for batch i runs
+    # in a worker thread while batch i+1's network+DPSR executes on device
+    # (jax dispatch is async; only the worker blocks on np.asarray).
+    def host_work(outs, x_dev, label_dev, cat, center_dev, max_len_dev,
+                  start_idx, rng_seed):
+        grid = np.asarray(outs[0])
+        refined_p, refined_n = np.asarray(outs[1]), np.asarray(outs[2])
+        x_np = np.asarray(x_dev)
+        label_np = np.asarray(label_dev)
+        center_np = np.asarray(center_dev)
+        max_len_np = np.asarray(max_len_dev)
+        rng = np.random.default_rng(rng_seed)
+        indicator = x_np[..., -1] if mirror_first else None
+        batch_save_pcd(noisy_dir, "noisy_pcd", x_np[..., :3], batch_info=cat,
+                       normals=x_np[..., 3:6], indicator=indicator,
                        start_idx=start_idx)
-        center_np = np.asarray(center)
-        max_len_np = np.asarray(max_len)
+        batch_save_pcd(refined_dir, "refined_pcd", refined_p, batch_info=cat,
+                       normals=refined_n, start_idx=start_idx)
+        verts_l, faces_l, normals_l = mc_from_psr(
+            grid, num_threads=min(grid.shape[0], os.cpu_count() or 1))
+        out = {k: [] for k in ("points", "normals", "uniform_points",
+                               "uniform_normals", "label")}
         for i in range(grid.shape[0]):
-            try:
-                verts_l, faces_l, normals_l = mc_from_psr(grid[i:i + 1])
-            except ValueError as e:
-                print(f"mesh {start_idx + i}: empty surface ({e})", flush=True)
+            v, f, n = verts_l[i], faces_l[i], normals_l[i]
+            if len(v) == 0:
+                print(f"mesh {start_idx + i}: empty surface", flush=True)
                 continue
-            v, f, n = verts_l[0], faces_l[0], normals_l[0]
             if return_original_scale:
                 c = (v.max(0) + v.min(0)) / 2
                 ml = (v.max(0) - v.min(0)).max()
@@ -184,12 +176,48 @@ def reconstruct_meshes(net, params, dpsr, loader, pointnet_config, dpsr_config,
             if do_sample_points_from_mesh:
                 p2k, n2k = sample_points_from_mesh(v, f, 2048, rng)
                 pu, nu = uniform_sample_points_from_mesh(v, f, 2048, rng=rng)
-                result["points"].append(p2k[None])
-                result["normals"].append(n2k[None])
-                result["uniform_points"].append(pu[None])
-                result["uniform_normals"].append(nu[None])
-                result["label"].append(np.asarray(label)[i:i + 1])
-        batch_idx += 1
+                out["points"].append(p2k[None])
+                out["normals"].append(n2k[None])
+                out["uniform_points"].append(pu[None])
+                out["uniform_normals"].append(nu[None])
+                out["label"].append(label_np[i:i + 1])
+        return out
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    key = jax.random.key(seed + rank)
+    per_rank = getattr(loader.dataset, "num_samples_per_rank", len(loader.dataset))
+    futures = []
+    with ThreadPoolExecutor(max_workers=1) as executor:
+        pending = None
+        batch_idx = 0
+        for data in loader:
+            if "label" not in data:
+                data = dict(data)
+                data["label"] = np.full(np.asarray(data["points"]).shape[0],
+                                        label_number, np.int64)
+            orig_pts = jnp.asarray(data["points"], jnp.float32)
+            center, max_len = compute_center_and_max_length(orig_pts)
+            key, k_b = jax.random.split(key)
+            x, label = _prepare_sap_input(data, trainset_config, dpsr_config,
+                                          k_b, ae_fns=ae_fns,
+                                          noise_magnitude=noise_magnitude)
+            outs = run_net(x, label)            # async dispatch
+            if pending is not None:
+                futures.append(executor.submit(host_work, *pending))
+            start_idx = per_rank * rank + loader.batch_size * batch_idx
+            pending = (outs, x, label, data.get("category_name"), center,
+                       max_len, start_idx, seed + rank + 1000 * batch_idx)
+            batch_idx += 1
+        if pending is not None:
+            futures.append(executor.submit(host_work, *pending))
+        for fut in futures:
+            if do_sample_points_from_mesh:
+                batch_out = fut.result()
+                for k in result:
+                    result[k] += batch_out[k]
+            else:
+                fut.result()
 
     if do_sample_points_from_mesh and result["points"]:
         pts = np.concatenate(result["points"], axis=0)
