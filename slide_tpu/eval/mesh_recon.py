@@ -157,14 +157,21 @@ def reconstruct_meshes(net, params, dpsr, loader, pointnet_config, dpsr_config,
                        start_idx=start_idx)
         batch_save_pcd(refined_dir, "refined_pcd", refined_p, batch_info=cat,
                        normals=refined_n, start_idx=start_idx)
-        verts_l, faces_l, normals_l = mc_from_psr(
-            grid, num_threads=min(grid.shape[0], os.cpu_count() or 1))
         out = {k: [] for k in ("points", "normals", "uniform_points",
                                "uniform_normals", "label")}
+        try:
+            verts_l, faces_l, normals_l = mc_from_psr(
+                grid, num_threads=min(grid.shape[0], os.cpu_count() or 1))
+        except ValueError as e:
+            # batched mc_from_psr skips empties, but a SIZE-1 batch re-raises
+            # (marching.py semantics) — skip the mesh, keep the run alive
+            print(f"mesh {start_idx}: empty surface ({e})", flush=True)
+            return out
         for i in range(grid.shape[0]):
             v, f, n = verts_l[i], faces_l[i], normals_l[i]
             if len(v) == 0:
-                print(f"mesh {start_idx + i}: empty surface", flush=True)
+                print(f"mesh {start_idx + i}: empty surface (no level crossing)",
+                      flush=True)
                 continue
             if return_original_scale:
                 c = (v.max(0) + v.min(0)) / 2
@@ -183,12 +190,22 @@ def reconstruct_meshes(net, params, dpsr, loader, pointnet_config, dpsr_config,
                 out["label"].append(label_np[i:i + 1])
         return out
 
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
     key = jax.random.key(seed + rank)
     per_rank = getattr(loader.dataset, "num_samples_per_rank", len(loader.dataset))
-    futures = []
     with ThreadPoolExecutor(max_workers=1) as executor:
+        futures: deque = deque()
+
+        def drain_one():
+            # merge in submission order; surfaces host errors within two
+            # batches instead of after the whole device pass
+            batch_out = futures.popleft().result()
+            if do_sample_points_from_mesh:
+                for k in result:
+                    result[k] += batch_out[k]
+
         pending = None
         batch_idx = 0
         for data in loader:
@@ -205,19 +222,18 @@ def reconstruct_meshes(net, params, dpsr, loader, pointnet_config, dpsr_config,
             outs = run_net(x, label)            # async dispatch
             if pending is not None:
                 futures.append(executor.submit(host_work, *pending))
+                # backpressure: pipeline depth 2 — don't pin every batch's
+                # device buffers when the host side is the bottleneck
+                while len(futures) >= 2:
+                    drain_one()
             start_idx = per_rank * rank + loader.batch_size * batch_idx
             pending = (outs, x, label, data.get("category_name"), center,
                        max_len, start_idx, seed + rank + 1000 * batch_idx)
             batch_idx += 1
         if pending is not None:
             futures.append(executor.submit(host_work, *pending))
-        for fut in futures:
-            if do_sample_points_from_mesh:
-                batch_out = fut.result()
-                for k in result:
-                    result[k] += batch_out[k]
-            else:
-                fut.result()
+        while futures:
+            drain_one()
 
     if do_sample_points_from_mesh and result["points"]:
         pts = np.concatenate(result["points"], axis=0)
