@@ -41,11 +41,17 @@ def evaluate_per_rank(net, params, trainset_config: dict, sched, save_dir: str,
                       split_points_and_normals: bool = False,
                       save_keypoint_feature: bool = False, seed: int = 0,
                       use_dummy_dataset: Optional[bool] = None,
-                      visualize: bool = False, mesh=None):
-    """Sample and write this rank's npz shard.  `latent_sampler`, if given,
-    replaces the eps-engine chain (latent diffusion tasks):
-      latent_sampler(key, batch, label, keypoint) ->
-        (points, keypoint, keypoint_feature).
+                      visualize: bool = False, mesh=None,
+                      custom_sampler: Optional[Callable] = None):
+    """Sample and write this rank's npz shard.
+
+    latent_sampler, if given, replaces the eps-engine chain (latent diffusion
+    tasks): latent_sampler(key, label, keypoint) ->
+    (points, keypoint, keypoint_feature).
+    custom_sampler(key, label, condition) -> points replaces the chain for
+    non-latent tasks (e.g. the x0/chamfer-loss engine, whose reverse chain the
+    reference drives via `diffusion_model.denoise`,
+    `mesh_evaluation.py:103-125`).
     """
     if task not in TASKS:
         raise ValueError(task)
@@ -146,6 +152,8 @@ def evaluate_per_rank(net, params, trainset_config: dict, sched, save_dir: str,
                 out["keypoint"].append(np.asarray(kp))
             if save_keypoint_feature:
                 out["keypoint_feature"].append(np.asarray(kpf))
+        elif custom_sampler is not None:
+            pts = jax.block_until_ready(custom_sampler(k_s, label, condition))
         else:
             pad = (-b) % n_dev
             if pad:

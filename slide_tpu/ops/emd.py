@@ -10,9 +10,11 @@ remainder, and accumulates the transported mass into the match matrix.  Each
 round is a handful of (n, m) matrix products — MXU work — so the whole thing
 is a `lax.scan` over 10 levels.
 
-Cost = sum(match * euclidean distance) / max(n, m).  As in the reference's
-backward (`emd.py:23-28`), the match is treated as a constant: gradients flow
-only through the distance term (we stop_gradient the match).
+Cost = sum(match * SQUARED distance) / max(n, m) — the reference's matchcost
+kernel accumulates squared distances (`emd_kernel.cu:206-232`, no sqrt), and
+the python wrapper only divides by max(n, m) (`emd.py:12-16`).  As in the
+reference's backward, the match is treated as a constant: gradients flow only
+through the distance term (we stop_gradient the match).
 """
 
 from __future__ import annotations
@@ -63,10 +65,10 @@ def approx_match(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
 
 
 def earth_mover_distance(xyz1: jax.Array, xyz2: jax.Array) -> jax.Array:
-    """Per-batch-element approximate EMD (B,), normalized by max(n, m)
-    (`emd.py:12-16`).  Differentiable w.r.t. both clouds through the distance
-    term (match held constant, matching the reference backward)."""
+    """Per-batch-element approximate EMD (B,) with SQUARED-distance transport
+    cost, normalized by max(n, m) (`emd_kernel.cu` matchcost + `emd.py:12-16`).
+    Differentiable w.r.t. both clouds through the distance term (match held
+    constant, matching the reference backward)."""
     match = lax.stop_gradient(approx_match(xyz1, xyz2))
-    dist = jnp.sqrt(jnp.maximum(pairwise_sqdist(xyz1, xyz2), 1e-20))
-    cost = jnp.sum(match * dist, axis=(1, 2))
+    cost = jnp.sum(match * pairwise_sqdist(xyz1, xyz2), axis=(1, 2))
     return cost / max(xyz1.shape[1], xyz2.shape[1])

@@ -42,7 +42,6 @@ def _use_pallas_fps() -> bool:
     return os.environ.get("SLIDE_TPU_PALLAS_FPS", "0") == "1"
 
 
-@functools.partial(jax.jit, static_argnames=("k", "num_forced"))
 def furthest_point_sample(xyz: jax.Array, k: int, start_idx=0, num_forced: int = 0):
     """Iterative max-min sampling of `k` points.
 
@@ -58,13 +57,23 @@ def furthest_point_sample(xyz: jax.Array, k: int, start_idx=0, num_forced: int =
     """
     if xyz.ndim != 3:
         raise ValueError(f"xyz must be (B, N, D), got {xyz.shape}")
-    b, n, _ = xyz.shape
+    b, n, d = xyz.shape
     if k > n:
         raise ValueError(f"cannot sample {k} points from {n}")
-    if _use_pallas_fps():
+    # the opt-in dispatch lives OUTSIDE the jitted impl so toggling the env
+    # var is not defeated by the jit cache; the kernel only handles D == 3
+    # (the CUDA reference's contract) — other D fall through to the scan,
+    # which distances over all channels
+    if d == 3 and _use_pallas_fps():
         from slide_tpu.ops.pallas.fps import fps_pallas, pallas_available
         if pallas_available():
             return fps_pallas(xyz, k, start_idx=start_idx, num_forced=num_forced)
+    return _fps_scan(xyz, k, start_idx, num_forced)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "num_forced"))
+def _fps_scan(xyz: jax.Array, k: int, start_idx=0, num_forced: int = 0):
+    b, n, _ = xyz.shape
     start = jnp.broadcast_to(jnp.asarray(start_idx, jnp.int32), (b,))
 
     def one_cloud(pts, s0):

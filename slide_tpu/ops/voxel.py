@@ -21,7 +21,10 @@ def avg_voxelize(features: jax.Array, coords: jax.Array, resolution: int) -> jax
     [0, R) -> grid (B, R, R, R, C) (channels-last)."""
     b, n, c = features.shape
     r = resolution
-    idx = jnp.clip(jnp.floor(coords).astype(jnp.int32), 0, r - 1)
+    # the reference ROUNDS to the nearest voxel (`modules/voxelization.py:
+    # vox_coords = round(norm_coords)`), consistent with the floor-based
+    # trilinear gather in devoxelize
+    idx = jnp.clip(jnp.round(coords).astype(jnp.int32), 0, r - 1)
     lin = idx[..., 0] * r * r + idx[..., 1] * r + idx[..., 2]     # (B, N)
 
     def one(feat_b, lin_b):
@@ -66,4 +69,5 @@ def normalize_coords_for_voxelization(xyz: jax.Array, resolution: int,
     norm = jnp.max(jnp.linalg.norm(centered, axis=-1, keepdims=True), axis=1,
                    keepdims=True)
     unit = centered / (norm * 2.0 + 1e-8) + 0.5
-    return jnp.clip(unit * (resolution - 1), 0.0, resolution - 1 - eps)
+    # reference scales by r then clamps to r-1 (`voxelization.py:24-26`)
+    return jnp.clip(unit * resolution, 0.0, resolution - 1 - eps)

@@ -67,16 +67,18 @@ def experiment_dirs(config: dict) -> tuple[str, str]:
     root/T{T}_betaT{betaT}_{model_name}/<output_directory>
     (`train.py:59-60`)."""
     tc = config["train_config"]
+    name = config["pointnet_config"]["model_name"]
     if "diffusion_config" in config:
         dc = config["diffusion_config"]
-        t, beta_t = dc["T"], dc["beta_T"]
+        local = "T{}_betaT{}_{}".format(dc["T"], dc["beta_T"], name)
     elif "standard_diffusion_config" in config:
         dc = config["standard_diffusion_config"]
-        t, beta_t = dc["num_diffusion_timesteps"], dc["beta_end"]
+        local = "T{}_betaT{}_{}".format(dc["num_diffusion_timesteps"],
+                                        dc["beta_end"], name)
     else:
-        t, beta_t = 0, 0
-    local = "T{}_betaT{}_{}".format(t, beta_t,
-                                    config["pointnet_config"]["model_name"])
+        # AE / SAP drivers use the plain model name
+        # (`train_autoencoder.py:51`, `train_upsampler.py`)
+        local = name
     exp_root = os.path.join(tc["root_directory"], local)
     return exp_root, os.path.join(exp_root, tc["output_directory"])
 
@@ -139,8 +141,10 @@ def run_training(config: dict, state: TrainState, train_step: Callable, *,
     time_offset = 0
     ckpt_iter = -1
     ema_rates = tuple(train_config.get("ema_rate") or ())
-    if train_config.get("ckpt_iter") == "max":
-        ckpt = load_checkpoint(output_directory)
+    ckpt_sel = train_config.get("ckpt_iter")
+    if ckpt_sel == "max" or isinstance(ckpt_sel, int):
+        ckpt = load_checkpoint(output_directory,
+                               None if ckpt_sel == "max" else ckpt_sel)
         if ckpt is not None:
             state = state.replace(
                 step=jnp.asarray(ckpt["iter"] + 1, jnp.int32),
@@ -209,9 +213,12 @@ def run_training(config: dict, state: TrainState, train_step: Callable, *,
 
 
 def make_generation_eval_hook(config: dict, net, sched, *,
-                              data_dir: Optional[str] = None, seed: int = 0):
+                              data_dir: Optional[str] = None, seed: int = 0,
+                              x0_sched: Optional[X0Schedule] = None):
     """Eval hook for the DDPM drivers: sample a test set per checkpoint
-    (model + every EMA) via `evaluate_per_rank`."""
+    (model + every EMA) via `evaluate_per_rank`.  With `x0_sched`, sampling
+    runs the x0-engine reverse chain (the reference's diffusion_model.denoise
+    path, `mesh_evaluation.py:103-125`)."""
     from slide_tpu.eval import evaluate_per_rank
 
     train_config = config["train_config"]
@@ -223,6 +230,26 @@ def make_generation_eval_hook(config: dict, net, sched, *,
     exp_root, _ = experiment_dirs(config)
     state = {"num_ckpts": 0}
     pfd = 3 + config["pointnet_config"]["in_fea_dim"]
+    num_points = trainset_config["num_keypoints"] if task == "keypoint_generation" \
+        else trainset_config["npoints"]
+
+    def x0_sampler_for(params):
+        from slide_tpu.diffusion.x0 import x0_denoise
+
+        def sampler(key, label, condition):
+            def net_fn(x, ts):
+                return net.apply({"params": params}, x, condition=condition,
+                                 ts=ts, label=label)
+            return x0_denoise(net_fn, key, (label.shape[0], num_points, pfd),
+                              x0_sched)
+        return sampler
+
+    def run_eval(params, save_dir, ckpt_info):
+        params = jax.device_get(params)
+        evaluate_per_rank(
+            net, params, trainset_config, sched, save_dir, task,
+            point_feature_dim=pfd, ckpt_info=ckpt_info, seed=seed,
+            custom_sampler=x0_sampler_for(params) if x0_sched is not None else None)
 
     def hook(params, ema_list, n_iter):
         state["num_ckpts"] += 1
@@ -230,14 +257,10 @@ def make_generation_eval_hook(config: dict, net, sched, *,
             return
         save_dir = os.path.join(exp_root, "eval_result")
         ckpt_info = f"_iter_{n_iter}"
-        evaluate_per_rank(net, jax.device_get(params), trainset_config, sched,
-                          save_dir, task, point_feature_dim=pfd,
-                          ckpt_info=ckpt_info, seed=seed)
+        run_eval(params, save_dir, ckpt_info)
         for rate, ema in zip(ema_rates, ema_list):
-            evaluate_per_rank(net, jax.device_get(ema), trainset_config, sched,
-                              os.path.join(save_dir, f"model_ema_{rate:.5f}"),
-                              task, point_feature_dim=pfd,
-                              ckpt_info=ckpt_info, seed=seed)
+            run_eval(ema, os.path.join(save_dir, f"model_ema_{rate:.5f}"),
+                     ckpt_info)
 
     return hook
 
@@ -354,6 +377,42 @@ def make_train_step(net: ConditionalPointNet2, sched, optimizer, ema_rates,
     return train_step
 
 
+def make_x0_train_step(net, x0_sched: X0Schedule, standard_diffusion_config: dict,
+                       optimizer, ema_rates, task: str,
+                       trainset_config: dict) -> Callable:
+    """x0-parameterized (chamfer-loss) train step — the reference routes
+    training through `Diffusion.train_loss` whenever the config carries
+    `standard_diffusion_config` (`train.py:209-215, 355-360`)."""
+    from slide_tpu.diffusion.x0 import x0_training_loss
+
+    loss_type = standard_diffusion_config["loss_type"]
+    normal_loss_type = standard_diffusion_config.get("normal_loss_type", "cos")
+
+    def train_step(state: TrainState, batch: dict, key: jax.Array):
+        k_prep, k_loss = jax.random.split(key)
+        x, condition = _prepare_x(task, trainset_config, batch["points"],
+                                  batch["normals"], k_prep)
+        label = batch["label"]
+
+        def loss_fn(params):
+            def net_fn(xt, ts):
+                return net.apply({"params": params}, xt, condition=condition,
+                                 ts=ts, label=label)
+            out = x0_training_loss(net_fn, k_loss, x, x0_sched,
+                                   loss_type=loss_type,
+                                   normal_loss_type=normal_loss_type)
+            return out["training_loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = ema_update(state.ema, params, ema_rates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state, ema=ema), loss
+
+    return train_step
+
+
 def _init_state(params, optimizer, ema_rates) -> TrainState:
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       opt_state=optimizer.init(params),
@@ -369,9 +428,15 @@ def train_position_ddpm(config: dict, *, data_dir: Optional[str] = None,
     `train.py`)."""
     train_config = config["train_config"]
     trainset_config = config["shapenet_psr_dataset_config"]
-    dc = config["diffusion_config"]
     task = train_config["task"]
-    sched = calc_diffusion_hyperparams(dc["T"], dc["beta_0"], dc["beta_T"])
+    # x0 engine takes over when standard_diffusion_config is present
+    # (train.py:355-360); diffusion_config still defines the schedule for
+    # directories / eps-engine eval
+    use_x0 = "standard_diffusion_config" in config
+    sched = None
+    if "diffusion_config" in config:
+        dc = config["diffusion_config"]
+        sched = calc_diffusion_hyperparams(dc["T"], dc["beta_0"], dc["beta_T"])
     net = build_network(config["pointnet_config"])
     optimizer = optax.adam(train_config["learning_rate"])
     ema_rates = tuple(train_config.get("ema_rate") or ())
@@ -385,10 +450,18 @@ def train_position_ddpm(config: dict, *, data_dir: Optional[str] = None,
                          condition=cond0, ts=jnp.zeros((2,), jnp.int32),
                          label=jnp.zeros((2,), jnp.int32))
     state = _init_state(variables["params"], optimizer, ema_rates)
-    step = make_train_step(net, sched, optimizer, ema_rates, task, trainset_config)
+    if use_x0:
+        sdc = config["standard_diffusion_config"]
+        step = make_x0_train_step(net, X0Schedule.from_config(sdc), sdc,
+                                  optimizer, ema_rates, task, trainset_config)
+    else:
+        step = make_train_step(net, sched, optimizer, ema_rates, task,
+                               trainset_config)
     if eval_hook == "auto":
-        eval_hook = make_generation_eval_hook(config, net, sched,
-                                              data_dir=data_dir, seed=seed)
+        eval_hook = make_generation_eval_hook(
+            config, net, sched, data_dir=data_dir, seed=seed,
+            x0_sched=X0Schedule.from_config(config["standard_diffusion_config"])
+            if use_x0 else None)
     return run_training(config, state, step, data_dir=data_dir, mesh=mesh,
                         max_iters=max_iters, seed=seed, eval_hook=eval_hook,
                         verbose=verbose)

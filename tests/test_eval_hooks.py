@@ -49,7 +49,8 @@ def test_ae_eval_hook(synth_root, tmp_path):
                                eval_per_ckpt=1)
     train_autoencoder(cfg, max_iters=3, seed=0, verbose=False,
                       eval_hook="auto")
-    exp = glob.glob(os.path.join(str(tmp_path / "ae_exp"), "T*"))[0]
+    # AE experiment dirs use the plain model name (no T prefix)
+    exp = glob.glob(os.path.join(str(tmp_path / "ae_exp"), "*"))[0]
     eval_dir = os.path.join(exp, "eval_result")
     assert glob.glob(os.path.join(
         eval_dir, "shapenet_psr_autoencoder_visualization_result_*.pkl"))

@@ -107,3 +107,22 @@ def test_rank_sharded_eval_gather(synth_root, tmp_path):
     with np.load(merged) as d:
         assert d["points"].shape[0] == 8     # 2 ranks x ceil(8/2)
     assert len(os.listdir(save_dir)) == 1    # rank shards deleted
+
+
+def test_x0_engine_position_training(synth_root, tmp_path):
+    """The chamfer-loss (x0-engine) position DDPM: configs carrying
+    standard_diffusion_config train through x0_training_loss
+    (reference train.py:209-215, 355-360)."""
+    cfg = tiny_config(synth_root, str(tmp_path / "x0_exp"))
+    cfg["standard_diffusion_config"] = {
+        "beta_schedule": "linear", "beta_start": 1e-4, "beta_end": 0.02,
+        "num_diffusion_timesteps": 1000, "data_clamp_range": 1.0,
+        "model_output_scale_factor": 1.0,
+        "loss_type": "mixed_cd_t_epsilon_mse", "t_trunction": 100,
+        "normal_loss_type": "mse",
+    }
+    state, losses = train_position_ddpm(cfg, max_iters=5, seed=0, verbose=False)
+    vals = [l for _, l in losses]
+    # (unclamped x0 chamfer at large t is huge by design — the reference
+    # mitigates with the t-truncated mixed loss, which we use here)
+    assert len(vals) == 5 and all(np.isfinite(vals))
