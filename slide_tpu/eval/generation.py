@@ -95,8 +95,27 @@ def evaluate_per_rank(net, params, trainset_config: dict, sched, save_dir: str,
                                 random_subsample=True,
                                 num_samples=cfg["num_samples_tested"], seed=seed)
 
+    def _uses_condition_cache():
+        from slide_tpu.models import ConditionalPointNet2
+        if not isinstance(net, ConditionalPointNet2):
+            return False
+        hp = net.config
+        return hp.get("include_local_feature", True) or \
+            hp.get("include_global_feature", False)
+
     def _sample_impl(key, label, condition):
+        # encode the condition towers ONCE, outside the T-step scan
+        # (the denoiser's cacheable-condition contract; replaces the
+        # reference's use_retained_condition_feature mutation)
+        cache = None
+        if condition is not None and _uses_condition_cache():
+            cache = net.apply({"params": params}, condition,
+                              method="encode_condition")
+
         def net_fn(x, ts):
+            if cache is not None:
+                return net.apply({"params": params}, x, ts=ts, label=label,
+                                 cond_cache=cache)
             return net.apply({"params": params}, x, condition=condition,
                              ts=ts, label=label)
         b = label.shape[0]

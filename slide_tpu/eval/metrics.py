@@ -148,21 +148,41 @@ def unit_cube_grid_point_cloud(resolution: int, clip_sphere: bool = False):
 
 def entropy_of_occupancy_grid(pclouds, grid_resolution: int,
                               in_sphere: bool = False):
-    """Occupancy-grid entropy + per-cell counters.  Nearest grid cell of a
-    regular grid is computed by direct rounding (exact — the reference's
-    sklearn NearestNeighbors over grid centers is equivalent, and its import
-    is actually commented out in the reference, `evaluation_metrics.py:5`)."""
+    """Occupancy-grid entropy + per-cell counters
+    (`evaluation_metrics.py:198-237`).  Nearest grid cell is computed by
+    rounding (exact on a regular grid; the reference's sklearn
+    NearestNeighbors import is actually commented out at
+    `evaluation_metrics.py:5`).  With `in_sphere`, corner cells outside the
+    unit sphere are dropped and out-of-sphere points snap to the nearest
+    in-sphere cell, like the reference's clipped grid."""
     pclouds = np.asarray(pclouds)
     res = grid_resolution
     spacing = 1.0 / (res - 1)
-    n_cells = res ** 3
+    centers_grid, _ = unit_cube_grid_point_cloud(res, clip_sphere=False)
+    centers = centers_grid.reshape(-1, 3)
+    if in_sphere:
+        keep = np.linalg.norm(centers, axis=1) <= 0.5
+        lut = -np.ones(len(centers), np.int64)
+        lut[keep] = np.arange(int(keep.sum()))
+        centers_in = centers[keep]
+        n_cells = len(centers_in)
+    else:
+        lut = np.arange(len(centers))
+        centers_in = centers
+        n_cells = len(centers)
     grid_counters = np.zeros(n_cells)
     grid_bernoulli = np.zeros(n_cells)
     for pc in pclouds:
         idx3 = np.clip(np.round((pc + 0.5) / spacing).astype(np.int64), 0, res - 1)
         lin = idx3[:, 0] * res * res + idx3[:, 1] * res + idx3[:, 2]
-        np.add.at(grid_counters, lin, 1)
-        grid_bernoulli[np.unique(lin)] += 1
+        cell = lut[lin]
+        miss = cell < 0
+        if miss.any():
+            # exact NN against the in-sphere cells for the (few) outliers
+            d = np.sum((pc[miss, None, :] - centers_in[None]) ** 2, axis=-1)
+            cell[miss] = d.argmin(axis=1)
+        np.add.at(grid_counters, cell, 1)
+        grid_bernoulli[np.unique(cell)] += 1
     n = float(len(pclouds))
     occupied = grid_bernoulli[grid_bernoulli > 0] / n
     acc_entropy = sum(entropy([p, 1.0 - p]) for p in occupied)

@@ -420,6 +420,12 @@ class ConditionalPointNet2(nn.Module):
             # (tagged 1) (`pointnet2_with_pcld_condition.py:303-318`)
             if pointcloud.shape[-1] != 3:
                 raise ValueError("concate_partial expects bare xyz input")
+            if condition is None:
+                raise ValueError("concate_partial requires a condition cloud")
+            if condition.shape[-1] not in (3, 4):
+                raise ValueError(
+                    "concate_partial condition must have 3 or 4 channels "
+                    f"(got {condition.shape[-1]})")
             zeros = jnp.zeros(pointcloud.shape[:2] + (1,), pointcloud.dtype)
             pc = jnp.concatenate([pointcloud, zeros], axis=-1)
             if condition.shape[-1] == 3:

@@ -119,4 +119,8 @@ class PointNetEncoder(nn.Module):
                       pooling=self.pooling)
             l_xyz.append(u)
             l_features.append(f)
+        if self.config.get("transform_output", False) and self.is_initializing():
+            # dead-parameter parity (see module docstring): materialize the
+            # discarded head's params without paying for it at runtime
+            _ = self.head_conv(l_features[-1])
         return l_features[-1], l_xyz, l_features

@@ -191,7 +191,11 @@ class PVCNN2(nn.Module):
                 [features, temb_at(n)], axis=-1)
             if conv_cfg is not None:
                 out_c, num_blocks, vres = conv_cfg
-                for p in range(num_blocks):
+                # the reference keeps only the FIRST conv block for stages
+                # beyond the first (`pvcnn_completion.py:97-101`: the
+                # `elif k==0` guard drops p>0 once c>0)
+                n_blocks = num_blocks if i == 0 else 1
+                for p in range(n_blocks):
                     attention = (sa_c + 1) % 2 == 0 and sa_c > 0 and \
                         self.use_att and p == 0
                     h = PVConv(out_c, vres, attention=attention,
@@ -216,7 +220,9 @@ class PVCNN2(nn.Module):
                 coords = centers
             sa_c += 1
 
-        feats_list[0] = pointcloud[..., 3:] if pointcloud.shape[-1] > 3 else \
+        # extra features of the FULL concatenated cloud (reference
+        # `inputs[:, 3:, :]`, pvcnn_completion.py:232)
+        feats_list[0] = x[..., 3:] if x.shape[-1] > 3 else \
             jnp.zeros(x.shape[:2] + (0,), x.dtype)
 
         if self.use_att:

@@ -43,19 +43,28 @@ def point_upsample(coarse: jax.Array, displacement: jax.Array,
     if not first_refine_coarse_points and include_displacement_center_to_final_output:
         raise ValueError("center output requires first_refine_coarse_points")
     b, n, f = coarse.shape
+    if displacement.shape[-1] % f != 0:
+        raise ValueError(
+            f"displacement channels {displacement.shape[-1]} not divisible by {f}")
+    groups = displacement.shape[-1] // f
     grid_scale = 1.0 / np.sqrt(point_upsample_factor)
     if first_refine_coarse_points:
         center_disp = displacement[..., :f]
         grid_disp = displacement[..., f:] * grid_scale
         refined = coarse + center_disp * output_scale_factor_value
-        # grid slots = factor - 1 (one slot consumed by the center refinement).
-        # NOTE: the reference's not-include-center branch views the grid as
-        # `factor` slots (point_upsample_module.py:31), which cannot hold —
-        # that branch would crash and is unused by shipped configs; we use the
-        # consistent factor-1.
-        k = point_upsample_factor - 1
+        # grid slots = displacement groups minus the center group.  The
+        # reference's two call sites pass DIFFERENT factor conventions (the
+        # decoder passes the head multiplier, `point_upsample_decoder.py:170`;
+        # the SAP refine path passes the raw config factor,
+        # `dpsr_evaluation.py:68`) — deriving k from the displacement width
+        # reproduces both behaviors where the reference works and fixes the
+        # decoder's not-include-center branch where it would crash.
+        k = groups - 1
         grid_disp = grid_disp.reshape(b, n, k, f)
     else:
+        if groups != point_upsample_factor:
+            raise ValueError(
+                f"displacement has {groups} groups, expected {point_upsample_factor}")
         grid_disp = (displacement * grid_scale).reshape(b, n, point_upsample_factor, f)
         refined = coarse
     up = refined[:, :, None, :] + grid_disp * output_scale_factor_value

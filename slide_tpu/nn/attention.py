@@ -101,9 +101,11 @@ class GlobalAttention(nn.Module):
 
         if not self.use_intended_attention:
             # Reference behavior: attention output == value (see class note).
-            # Keep the weight-stack parameters for structural parity.
-            _ = self._weight_stack(jnp.zeros(feat.shape[:2] + (2 * self.c,),
-                                             feat.dtype))
+            # Materialize the weight-stack parameters only during init
+            # (structural parity at zero steady-state cost).
+            if self.is_initializing():
+                _ = self._weight_stack(jnp.zeros(feat.shape[:2] + (2 * self.c,),
+                                                 feat.dtype))
             return value
 
         n = feat.shape[1]

@@ -76,7 +76,10 @@ def query_and_group(xyz: jax.Array, new_xyz: jax.Array,
 def group_all(xyz: jax.Array, features: jax.Array | None = None,
               use_xyz: bool = True):
     """Group the ENTIRE cloud as one neighborhood — the reference's `GroupAll`
-    (`pointnet2_utils.py:451-494`), used by SA modules with npoint=None.
+    (`pointnet2_utils.py:451-494`).  NOTE: the reference constructs GroupAll
+    for npoint=None SA modules but its forward asserts npoint is not None
+    (`pointnet2_modules.py:253`), so the path is unreachable there; this is
+    the capability building block.
 
     Returns (B, 1, N, C[+3]) with channel order [features, xyz]."""
     grouped_xyz = xyz[:, None, :, :]
