@@ -57,7 +57,30 @@ def _read_config(path: str) -> dict:
     return read_json_file(path)
 
 
+def _setup_rank(args):
+    """Resolve (rank, world_size) for this process.
+
+    `--coordinator_address` initializes jax.distributed (one process per
+    host, the TPU-pod replacement for the reference's per-GPU spawn,
+    `distributed.py:154-182`); rank/world then come from the jax process
+    grid.  Explicit `--rank/--world_size` override for file-sharded eval
+    runs launched as independent processes (merge shards afterwards with
+    the `gather` subcommand)."""
+    import jax
+    from slide_tpu.parallel import maybe_initialize_distributed
+    maybe_initialize_distributed(getattr(args, "coordinator_address", None),
+                                 getattr(args, "num_processes", None),
+                                 getattr(args, "process_id", None))
+    rank, world = jax.process_index(), jax.process_count()
+    if getattr(args, "rank", None) is not None:
+        rank = args.rank
+    if getattr(args, "world_size", None) is not None:
+        world = args.world_size
+    return rank, world
+
+
 def cmd_train(args):
+    _setup_rank(args)          # multi-host: join the jax process grid
     from slide_tpu.train import (train_position_ddpm, train_autoencoder,
                                  train_latent_ddpm, train_upsampler)
     config = _read_config(args.config)
@@ -95,9 +118,11 @@ def cmd_generate(args):
         ts_cfg["num_samples_tested"] = args.num_samples
     if args.batch_size:
         ts_cfg["eval_batch_size"] = args.batch_size
+    rank, world = _setup_rank(args)
     evaluate_per_rank(net, params, ts_cfg, sched, args.save_dir,
                       config["train_config"]["task"],
                       point_feature_dim=3 + config["pointnet_config"]["in_fea_dim"],
+                      rank=rank, world_size=world,
                       split_points_and_normals=True, seed=args.seed,
                       visualize=not args.no_visualize)
 
@@ -138,9 +163,11 @@ def cmd_latent_generate(args):
             net_fn, decode_fn, key, label.shape[0], 3, (k, 3 + feat_dim),
             sched, label=label, keypoint=keypoint)
 
+    rank, world = _setup_rank(args)
     evaluate_per_rank(net, params, ts_cfg, None, args.save_dir,
                       config["train_config"]["task"],
                       point_feature_dim=feat_dim,
+                      rank=rank, world_size=world,
                       latent_sampler=latent_sampler,
                       test_external_keypoint=args.external_keypoint_file is not None,
                       external_keypoint_file=args.external_keypoint_file,
@@ -261,8 +288,17 @@ def cmd_evaluate(args):
     if args.normalize:
         gen, _, _ = normalize_point_cloud(gen)
         ref, _, _ = normalize_point_cloud(ref)
-    result = calc_cd(jnp.asarray(gen), jnp.asarray(ref), calc_f1=True)
-    report = {k: float(np.mean(np.asarray(v))) for k, v in result.items()}
+    if args.batch_size < 1:
+        raise SystemExit("--batch_size must be >= 1")
+    # paired metrics in --batch_size chunks: calc_cd materializes a
+    # (B, N, N) distance tensor, so the whole set at once would OOM
+    chunks = []
+    for i in range(0, n, args.batch_size):
+        r = calc_cd(jnp.asarray(gen[i:i + args.batch_size]),
+                    jnp.asarray(ref[i:i + args.batch_size]), calc_f1=True)
+        chunks.append({k: np.asarray(v) for k, v in r.items()})
+    report = {k: float(np.mean(np.concatenate([c[k] for c in chunks])))
+              for k in chunks[0]}
     if args.all_metrics:
         from slide_tpu.eval import compute_all_metrics, jsd_between_point_cloud_sets
         report.update(compute_all_metrics(gen, ref, batch_size=args.batch_size))
@@ -276,6 +312,13 @@ def cmd_evaluate(args):
             json.dump(report, f, indent=2)
 
 
+def cmd_gather(args):
+    from slide_tpu.eval import gather_generated_results
+    out = gather_generated_results(args.save_dir, args.world_size,
+                                   num_points=args.num_points)
+    print(f"merged {args.world_size} rank shards into {out}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="slide_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -287,6 +330,15 @@ def main(argv=None):
             sp.add_argument("--ckpt", required=True)
             sp.add_argument("--ema_idx", type=int, default=-1)
         sp.add_argument("--seed", type=int, default=0)
+        # multi-host: jax.distributed rendezvous (one process per host)
+        sp.add_argument("--coordinator_address", type=str, default=None)
+        sp.add_argument("--num_processes", type=int, default=None)
+        sp.add_argument("--process_id", type=int, default=None)
+
+    def ranked(sp):
+        # file-sharded eval launched as independent processes
+        sp.add_argument("--rank", type=int, default=None)
+        sp.add_argument("--world_size", type=int, default=None)
 
     sp = sub.add_parser("train")
     common(sp)
@@ -300,6 +352,7 @@ def main(argv=None):
     sp.add_argument("--batch_size", type=int, default=None)
     sp.add_argument("--save_dir", default="ddpm_generated_point_clouds")
     sp.add_argument("--no_visualize", action="store_true")
+    ranked(sp)
     sp.set_defaults(fn=cmd_generate)
 
     sp = sub.add_parser("latent-generate")
@@ -311,6 +364,7 @@ def main(argv=None):
     sp.add_argument("--external_keypoint_file", type=str, default=None)
     sp.add_argument("--save_keypoint_feature", action="store_true")
     sp.add_argument("--no_visualize", action="store_true")
+    ranked(sp)
     sp.set_defaults(fn=cmd_latent_generate)
 
     sp = sub.add_parser("encode")
@@ -339,6 +393,12 @@ def main(argv=None):
     sp.add_argument("--return_original_scale", action="store_true")
     sp.add_argument("--label_number", type=int, default=0)
     sp.set_defaults(fn=cmd_reconstruct)
+
+    sp = sub.add_parser("gather")
+    sp.add_argument("--save_dir", required=True)
+    sp.add_argument("--world_size", type=int, required=True)
+    sp.add_argument("--num_points", type=int, default=2048)
+    sp.set_defaults(fn=cmd_gather)
 
     sp = sub.add_parser("evaluate")
     sp.add_argument("--gen", required=True)

@@ -292,9 +292,9 @@ def upsampler_config(*, batch_size: int = 32) -> dict:
             "output_directory": "checkpoint",
             "tensorboard_directory": "tensorboard",
             "ckpt_iter": "max",
-            "epochs_per_ckpt": 4,
+            "epochs_per_ckpt": 10,
             "iters_per_logging": 50,
-            "n_epochs": 301,
+            "n_epochs": 1000,
             "eval_start_epoch": 0,
             "eval_per_ckpt": 1,
             "learning_rate": 0.0002,

@@ -26,7 +26,11 @@ class DummyShapesDataset:
         if world_size > 1:
             self.num_samples_per_rank = int(np.ceil(num_samples / world_size))
             if rank == world_size - 1:
-                self.num_samples = num_samples - self.num_samples_per_rank * (world_size - 1)
+                # clamp: the reference's formula (dummy_shapenet_psr_dataset.py
+                # last-rank remainder) goes negative when num_samples <
+                # (world_size-1)*ceil(num_samples/world_size)
+                self.num_samples = max(
+                    0, num_samples - self.num_samples_per_rank * (world_size - 1))
             else:
                 self.num_samples = self.num_samples_per_rank
         else:
@@ -51,7 +55,8 @@ class DummyLabelDataset:
             self.length = length
         else:
             per = int(np.ceil(length / world_size))
-            self.length = length - (world_size - 1) * per if rank == world_size - 1 else per
+            self.length = max(0, length - (world_size - 1) * per) \
+                if rank == world_size - 1 else per
         self.num_labels = num_labels
         self._rng = random.Random(seed)
 

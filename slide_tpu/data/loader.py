@@ -55,21 +55,41 @@ class BatchLoader:
     def __iter__(self) -> Iterator[dict]:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        abandoned = threading.Event()
+
+        def offer(item) -> bool:
+            # bounded put that gives up once the consumer abandons iteration,
+            # so a mid-epoch `break` doesn't leave the producer thread (and
+            # its prefetched batches) pinned forever
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    pass
+            return False
 
         def worker():
             try:
                 for batch_idx in self._index_batches():
-                    q.put(collate([self.dataset[int(i)] for i in batch_idx]))
-            finally:
-                q.put(stop)
+                    if not offer(collate([self.dataset[int(i)] for i in batch_idx])):
+                        return
+                offer(stop)
+            except BaseException as exc:  # propagate to the consumer
+                offer(exc)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            abandoned.set()
 
 
 def get_dataloader(args: dict, phase: str = "train", rank: int = 0,

@@ -61,16 +61,21 @@ class GeneralNpzDataset:
                  data_key_split_names: Optional[Sequence[str]] = None,
                  data_key_split_dims: Optional[Sequence[int]] = None,
                  seed: Optional[int] = None):
-        self.data_dict = {}
         with np.load(data_dir) as data:
-            for name in data.files:
-                if name == data_key and data_key_split_names is not None:
-                    for i, split_name in enumerate(data_key_split_names):
-                        s, e = data_key_split_dims[i], data_key_split_dims[i + 1]
-                        self.data_dict[split_name] = data[name][..., s:e]
-                    data_key = data_key_split_names[0]
-                else:
-                    self.data_dict[name] = data[name]
+            self.data_dict = {name: data[name] for name in data.files}
+        if data_key in self.data_dict and data_key_split_names is not None:
+            # split independent of npz key ORDER: real keys always win over
+            # split-derived slices, and slices beyond the stored width are
+            # dropped rather than materialized as zero-width arrays (e.g.
+            # points(…,3) + a real 'normals' key under split_dims [0,3,6])
+            src = self.data_dict.pop(data_key)
+            width = src.shape[-1]
+            for i, split_name in enumerate(data_key_split_names):
+                s, e = data_key_split_dims[i], data_key_split_dims[i + 1]
+                if split_name in self.data_dict or s >= width:
+                    continue
+                self.data_dict[split_name] = src[..., s:min(e, width)]
+            data_key = data_key_split_names[0]
         self.noise_magnitude = noise_magnitude
         self.scale = scale
         self._nprng = np.random.default_rng(seed)

@@ -108,11 +108,19 @@ def sample_train_keypoints(points, trainset_config: dict, key=None):
 
 
 def _device_batch(batch: dict, sharding) -> dict:
+    multi = jax.process_count() > 1
     out = {}
-    for k in ("points", "normals", "psr"):
-        if k in batch:
-            out[k] = jax.device_put(jnp.asarray(batch[k], jnp.float32), sharding)
-    out["label"] = jax.device_put(jnp.asarray(batch["label"], jnp.int32), sharding)
+    for k, dtype in [("points", jnp.float32), ("normals", jnp.float32),
+                     ("psr", jnp.float32), ("label", jnp.int32)]:
+        if k not in batch:
+            continue
+        arr = jnp.asarray(batch[k], dtype)
+        if multi:
+            # each process holds its rank's shard; assemble the global array
+            out[k] = jax.make_array_from_process_local_data(sharding,
+                                                            np.asarray(arr))
+        else:
+            out[k] = jax.device_put(arr, sharding)
     return out
 
 
@@ -162,7 +170,12 @@ def run_training(config: dict, state: TrainState, train_step: Callable, *,
     step_fn = jax.jit(train_step, in_shardings=(repl, data_sh, repl),
                       out_shardings=(repl, repl), donate_argnums=0)
 
-    loader = get_dataloader(trainset_config, phase="train", seed=seed)
+    # under jax.distributed each process loads its rank's shard (the data
+    # layer's rank/world_size split); batch assembly goes through
+    # make_array_from_process_local_data in _device_batch
+    rank, world = jax.process_index(), jax.process_count()
+    loader = get_dataloader(trainset_config, phase="train", seed=seed,
+                            rank=rank, world_size=world)
     loader_len = len(loader)
     n_iters = int(loader_len * train_config["n_epochs"])
     if max_iters is not None:
@@ -179,8 +192,11 @@ def run_training(config: dict, state: TrainState, train_step: Callable, *,
         for batch in loader:
             if n_iter >= n_iters:
                 break
-            if batch["label"].shape[0] % n_dev != 0:
-                continue  # static sharding needs divisible batches
+            # static sharding needs divisible batches; the per-rank dataset
+            # split is equal-sized (append_samples_to_last_rank), so every
+            # process takes the same branch here
+            if batch["label"].shape[0] % max(1, n_dev // world) != 0:
+                continue
             db = _device_batch(batch, data_sh)
             key = jax.device_put(jax.random.fold_in(base_key, n_iter), repl)
             state, loss = step_fn(state, db, key)
@@ -194,13 +210,21 @@ def run_training(config: dict, state: TrainState, train_step: Callable, *,
                     print(f"iteration: {n_iter} \tloss: {loss_v:.6f} "
                           f"\ttime: {time.time() - log_t:.2f}s", flush=True)
                 log_t = time.time()
-            if (n_iter + 1) % iters_per_ckpt == 0:
+            if (n_iter + 1) % iters_per_ckpt == 0 and rank == 0:
+                # params/EMA are replicated; only process 0 writes (shared
+                # storage would otherwise be clobbered by every host)
                 save_checkpoint(output_directory, n_iter, state.params,
                                 state.opt_state,
                                 int(time.time() - t0) + time_offset,
                                 ema_state_list=list(state.ema) if ema_rates else None)
                 if eval_hook is not None:
-                    eval_hook(state.params, list(state.ema), n_iter)
+                    if world > 1:
+                        # hand hooks host copies: jitting a global (non-fully-
+                        # addressable) array from one process alone would hang
+                        eval_hook(jax.device_get(state.params),
+                                  jax.device_get(list(state.ema)), n_iter)
+                    else:
+                        eval_hook(state.params, list(state.ema), n_iter)
             n_iter += 1
     return state, losses
 

@@ -19,8 +19,8 @@ def plot_pcd(points: np.ndarray, out_png: str, *, elev: float = 20,
     pts = np.asarray(points)[:, :3]
     fig = plt.figure(figsize=(4, 4))
     ax = fig.add_subplot(111, projection="3d")
-    ax.scatter(pts[:, 0], pts[:, 2], pts[:, 1], s=size, c=color or "#1f77b4",
-               depthshade=True)
+    ax.scatter(pts[:, 0], pts[:, 2], pts[:, 1], s=size,
+               c="#1f77b4" if color is None else color, depthshade=True)
     ax.view_init(elev=elev, azim=azim)
     ax.set_axis_off()
     lim = np.abs(pts).max() * 1.05
