@@ -60,8 +60,21 @@ def main():
                              label=jnp.zeros((2,), jnp.int32))
     sched = calc_diffusion_hyperparams(t_steps, 1e-4, 0.02)
 
-    def net_fn(xx, ts):
-        return net.apply(variables, xx, ts=ts, label=label)
+    # the fused single-kernel denoiser (models/fused_denoiser.py) is ~1.8x
+    # the flax path on this workload; SLIDE_TPU_FUSED=0 falls back
+    fused = None
+    if os.environ.get("SLIDE_TPU_FUSED", "1") != "0" \
+            and jax.default_backend() not in ("cpu",):
+        from slide_tpu.models.fused_denoiser import make_fused_net_fn
+        fused = make_fused_net_fn(cfg["pointnet_config"], variables["params"],
+                                  num_points, block_b=40)
+
+    if fused is not None:
+        def net_fn(xx, ts):
+            return fused(xx, ts, label)
+    else:
+        def net_fn(xx, ts):
+            return net.apply(variables, xx, ts=ts, label=label)
 
     sample = jax.jit(lambda key: diffusion_sampling(
         net_fn, key, (batch, num_points, 3), sched))

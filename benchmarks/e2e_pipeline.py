@@ -103,7 +103,20 @@ def main():
     dpsr = DPSR((128, 128, 128), sig=2)
 
     # ---- jitted stage functions
+    # fused single-kernel denoisers for both DDPM stages (SLIDE_TPU_FUSED=0
+    # falls back to the flax forward)
+    kp_fused = lat_fused = None
+    if os.environ.get("SLIDE_TPU_FUSED", "1") != "0" \
+            and jax.default_backend() not in ("cpu",) and b % 8 == 0:
+        from slide_tpu.models.fused_denoiser import make_fused_net_fn
+        kp_fused = make_fused_net_fn(kp_cfg["pointnet_config"],
+                                     kp_vars["params"], 16)
+        lat_fused = make_fused_net_fn(lat_cfg["pointnet_config"],
+                                      lat_vars["params"], 16)
+
     def kp_net_fn(x, ts):
+        if kp_fused is not None:
+            return kp_fused(x, ts, label)
         return kp_net.apply(kp_vars, x, ts=ts, label=label)
 
     if args.fastdpm > 0:
@@ -116,6 +129,8 @@ def main():
             kp_net_fn, k, (b, 16, 3), kp_sched))
 
     def lat_net_fn(x, ts):
+        if lat_fused is not None:
+            return lat_fused(x, ts, label)
         return lat_net.apply(lat_vars, x, ts=ts, label=label)
 
     sample_lat = jax.jit(lambda k, kp: x0_denoise(

@@ -103,6 +103,16 @@ def evaluate_per_rank(net, params, trainset_config: dict, sched, save_dir: str,
         return hp.get("include_local_feature", True) or \
             hp.get("include_global_feature", False)
 
+    # SLIDE_TPU_FUSED=1 swaps the unconditional denoiser for the fused
+    # single-kernel path (models/fused_denoiser.py, ~1.8x) — single-device
+    # only (pallas_call is not auto-partitionable across a mesh)
+    fused = None
+    if os.environ.get("SLIDE_TPU_FUSED") == "1" and mesh is None \
+            and isinstance(net, ConditionalPointNet2) \
+            and jax.default_backend() not in ("cpu",):
+        from slide_tpu.models.fused_denoiser import make_fused_net_fn
+        fused = make_fused_net_fn(net.config, params, num_points)
+
     def _sample_impl(key, label, condition):
         # encode the condition towers ONCE, outside the T-step scan
         # (the denoiser's cacheable-condition contract; replaces the
@@ -113,6 +123,9 @@ def evaluate_per_rank(net, params, trainset_config: dict, sched, save_dir: str,
                               method="encode_condition")
 
         def net_fn(x, ts):
+            # shapes are static under jit: ragged final batches fall back
+            if fused is not None and condition is None and x.shape[0] % 8 == 0:
+                return fused(x, ts, label)
             if cache is not None:
                 return net.apply({"params": params}, x, ts=ts, label=label,
                                  cond_cache=cache)
