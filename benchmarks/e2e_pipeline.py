@@ -107,12 +107,16 @@ def main():
     # falls back to the flax forward)
     kp_fused = lat_fused = None
     if os.environ.get("SLIDE_TPU_FUSED", "1") != "0" \
-            and jax.default_backend() not in ("cpu",) and b % 8 == 0:
+            and jax.default_backend() not in ("cpu",):
         from slide_tpu.models.fused_denoiser import make_fused_net_fn
         kp_fused = make_fused_net_fn(kp_cfg["pointnet_config"],
                                      kp_vars["params"], 16)
         lat_fused = make_fused_net_fn(lat_cfg["pointnet_config"],
                                       lat_vars["params"], 16)
+        if kp_fused is not None and b % kp_fused.block_b != 0:
+            kp_fused = None
+        if lat_fused is not None and b % lat_fused.block_b != 0:
+            lat_fused = None
 
     def kp_net_fn(x, ts):
         if kp_fused is not None:

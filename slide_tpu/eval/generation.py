@@ -108,10 +108,11 @@ def evaluate_per_rank(net, params, trainset_config: dict, sched, save_dir: str,
     # only (pallas_call is not auto-partitionable across a mesh)
     fused = None
     if os.environ.get("SLIDE_TPU_FUSED") == "1" and mesh is None \
-            and isinstance(net, ConditionalPointNet2) \
             and jax.default_backend() not in ("cpu",):
+        from slide_tpu.models import ConditionalPointNet2
         from slide_tpu.models.fused_denoiser import make_fused_net_fn
-        fused = make_fused_net_fn(net.config, params, num_points)
+        if isinstance(net, ConditionalPointNet2):
+            fused = make_fused_net_fn(net.config, params, num_points)
 
     def _sample_impl(key, label, condition):
         # encode the condition towers ONCE, outside the T-step scan
@@ -124,7 +125,8 @@ def evaluate_per_rank(net, params, trainset_config: dict, sched, save_dir: str,
 
         def net_fn(x, ts):
             # shapes are static under jit: ragged final batches fall back
-            if fused is not None and condition is None and x.shape[0] % 8 == 0:
+            if fused is not None and condition is None \
+                    and x.shape[0] % fused.block_b == 0:
                 return fused(x, ts, label)
             if cache is not None:
                 return net.apply({"params": params}, x, ts=ts, label=label,

@@ -120,6 +120,9 @@ def build_spec(config: Mapping[str, Any], n_points: int) -> dict:
         spec2_head = ddim[i] + skip
         c_in1 = spec2_head - spec1[-1]
         spec2 = [spec2_head + 3] + [ddim[i]] * dec_depth
+        if arch["K"] > n_points:
+            # the flax path's knn_points raises for k > n; match by rejecting
+            raise ValueError("fused denoiser requires FP K <= N")
         fp.append(dict(spec1=spec1, spec2=spec2, k=arch["K"],
                        c_in1=max(c_in1, 32), c_in2=max(spec1[0], 32)))
 
@@ -298,7 +301,9 @@ def _pairwise_sqdist(x):
     xy = jax.lax.dot_general(x, x, (((2,), (2,)), ((0,), (0,))),
                              precision=_PREC_EXACT,
                              preferred_element_type=jnp.float32)
-    return sq[:, :, None] + sq[:, None, :] - 2.0 * xy
+    # clamp like ops/neighbors.pairwise_sqdist: cancellation can go negative,
+    # which would flip the 1/(d+1e-8) kNN weight channel
+    return jnp.maximum(sq[:, :, None] + sq[:, None, :] - 2.0 * xy, 0.0)
 
 
 def _topk_onehot(d, k):
@@ -344,6 +349,15 @@ def _forward_tile(spec: dict, w: dict, pc, t4, cls):
 
     d = _pairwise_sqdist(xyz)                            # (Bt, N, N)
 
+    sel_cache = {}
+
+    def topk(k):
+        # every level groups the same xyz (npoint >= N, no downsampling),
+        # so the selection for a given k is computed once per forward
+        if k not in sel_cache:
+            sel_cache[k] = _topk_onehot(d, k)
+        return sel_cache[k]
+
     def group(features, k, with_knn_channels=False):
         """query_and_group / group_knn_features for queries == xyz."""
         center = xyz[:, :, None, :]
@@ -362,7 +376,7 @@ def _forward_tile(spec: dict, w: dict, pc, t4, cls):
             if inc_cen:
                 parts.append(jnp.broadcast_to(center, nn_abs.shape))
             return jnp.concatenate(parts, axis=-1)
-        sel = _topk_onehot(d, k)                         # (Bt, N, K, N)
+        sel = topk(k)                                    # (Bt, N, K, N)
         sel2 = sel.reshape(bt, n * k, n)
         nn_abs = _gather(sel2, xyz).reshape(bt, n, k, 3)
         rel = nn_abs - center
@@ -497,11 +511,15 @@ def make_fused_net_fn(config: Mapping[str, Any], params, n_points: int, *,
     config isn't supported."""
     if not supports_config(config):
         return None
-    spec = build_spec(config, n_points)
+    try:
+        spec = build_spec(config, n_points)
+    except ValueError:      # e.g. npoint < N or K > N at this cloud size
+        return None
     weights = extract_weights(params)
 
     def net_fn(x, ts, label):
         return fused_forward(spec, weights, x, ts, label, block_b=block_b,
                              use_pallas=use_pallas, interpret=interpret)
 
+    net_fn.block_b = block_b
     return net_fn

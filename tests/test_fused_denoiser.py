@@ -85,3 +85,31 @@ def test_batch_divisibility_error():
     with pytest.raises(ValueError, match="divisible"):
         fused_forward(spec, weights, x, ts, lbl, block_b=4, use_pallas=True,
                       interpret=True)
+
+
+def test_unsupported_shapes_return_none():
+    """Shape-level rejections must yield None (callers fall back), not raise:
+    npoint < N (latent eval at full cloud size) and FP K > N."""
+    cfg, net, variables, *_ = _setup(keypoint_ddpm_config, 3)
+    assert make_fused_net_fn(cfg, variables["params"], 2048) is None  # npoint<N
+    assert make_fused_net_fn(cfg, variables["params"], 4) is None     # K=8>N
+    fn = make_fused_net_fn(cfg, variables["params"], 16)
+    assert fn is not None and fn.block_b == 8
+
+
+def test_duplicate_points_stay_finite():
+    """Coincident points cancel to tiny negative sqdist in x²+y²−2xy; the
+    clamp keeps the kNN weight channel finite and positive (parity with
+    ops/neighbors.pairwise_sqdist)."""
+    cfg, net, variables, x, ts, lbl = _setup(keypoint_ddpm_config, 3)
+    x = x.at[:, 1].set(x[:, 0])          # exact duplicate point
+    x = x.at[:, 2].set(x[:, 0] + 1e-5)   # near-duplicate
+    fn = make_fused_net_fn(cfg, variables["params"], 16, use_pallas=False)
+    out = fn(x, ts, lbl)
+    assert np.isfinite(np.asarray(out)).all()
+    # exact parity is NOT expected here: duplicate points make the kNN set
+    # ambiguous (distance ties resolve differently between lax.top_k on the
+    # flax side and the masked-argmin extraction), so only require the two
+    # equally-valid resolutions to stay in the same ballpark
+    ref = np.asarray(net.apply(variables, x, ts=ts, label=lbl))
+    assert np.abs(np.asarray(out) - ref).max() < 0.1
