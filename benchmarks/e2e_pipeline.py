@@ -51,7 +51,19 @@ def main():
                     help="if >0, use FastDPM STEP sampling with this many steps "
                          "for the position chain")
     ap.add_argument("--skip-mesh", action="store_true")
+    # optional trained checkpoints (pointnet_ckpt_<i>.pkl); random init if absent
+    ap.add_argument("--kp_ckpt", type=str, default=None)
+    ap.add_argument("--lat_ckpt", type=str, default=None)
+    ap.add_argument("--ae_ckpt", type=str, default=None)
+    ap.add_argument("--sap_ckpt", type=str, default=None)
+    ap.add_argument("--ema_idx", type=int, default=-1)
     args = ap.parse_args()
+
+    def _maybe_load(vars_, ckpt_path):
+        if ckpt_path is None:
+            return vars_
+        from slide_tpu.cli import load_inference_params
+        return {"params": load_inference_params(ckpt_path, args.ema_idx)}
 
     from slide_tpu.configs import (keypoint_ddpm_config, latent_ddpm_config,
                                    autoencoder_config, upsampler_config)
@@ -75,6 +87,7 @@ def main():
     kp_vars = _cpu_init(kp_net.init, jax.random.key(1), jnp.zeros((2, 16, 3)),
                         ts=jnp.zeros((2,), jnp.int32),
                         label=jnp.zeros((2,), jnp.int32))
+    kp_vars = _maybe_load(kp_vars, args.kp_ckpt)
     _log("position net init", t_start)
     kp_sched = calc_diffusion_hyperparams(args.t, 1e-4, 0.02)
 
@@ -84,6 +97,7 @@ def main():
     lat_vars = _cpu_init(lat_net.init, jax.random.key(2), jnp.zeros((2, 16, 51)),
                          ts=jnp.zeros((2,), jnp.int32),
                          label=jnp.zeros((2,), jnp.int32))
+    lat_vars = _maybe_load(lat_vars, args.lat_ckpt)
     _log("latent net init", t_start)
     lat_sched = X0Schedule.from_config(lat_cfg["standard_diffusion_config"])
 
@@ -93,12 +107,14 @@ def main():
                         "gaussian": jax.random.key(4), "fps": jax.random.key(5)},
                         jnp.zeros((2, 2048, 6)), jnp.zeros((2, 16, 3)),
                         label=jnp.zeros((2,), jnp.int32))
+    ae_vars = _maybe_load(ae_vars, args.ae_ckpt)
     _log("autoencoder init", t_start)
 
     sap_cfg = upsampler_config()
     sap_net = ConditionalPointNet2(sap_cfg["pointnet_config"])
     sap_vars = _cpu_init(sap_net.init, jax.random.key(6), jnp.zeros((2, 2048, 7)),
                          ts=None, label=jnp.zeros((2,), jnp.int32))
+    sap_vars = _maybe_load(sap_vars, args.sap_ckpt)
     _log("sap net init", t_start)
     dpsr = DPSR((128, 128, 128), sig=2)
 

@@ -30,14 +30,32 @@ ALL_SYNSETS = {
 def write_synthetic_shapenet_psr(root: str, categories=("02691156",),
                                  models_per_split: int = 4,
                                  num_points: int = 3000, psr_res: int = 16,
-                                 seed: int = 0, with_psr: bool = True):
+                                 seed: int = 0, with_psr: bool = True,
+                                 shape_variety: bool = False,
+                                 psr_from_points: bool = False):
     """Write metadata.yaml, .lst splits, and random pointcloud.npz/psr.npz
-    files.  Returns the root path."""
+    files.  Returns the root path.
+
+    shape_variety: sample a random ellipsoid per model (semi-axes in
+      [0.25, 0.45]) instead of the fixed radius-0.4 sphere, giving the
+      generative models a non-trivial but learnable distribution.
+    psr_from_points: compute the psr.npz grid from the model's own
+      points+normals with the DPSR operator (like the real dataset's
+      precomputed Poisson grids) instead of uniform noise — required for
+      meaningful SAP-upsampler training, whose loss targets this grid.
+    """
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
     metadata = {c: {"id": c, "name": ALL_SYNSETS.get(c, c)} for c in ALL_SYNSETS}
     with open(os.path.join(root, "metadata.yaml"), "w") as f:
         yaml.safe_dump(metadata, f)
+    dpsr = None
+    if with_psr and psr_from_points:
+        import jax
+        from slide_tpu.sap import DPSR
+        # jit: the spectral solve must compile as one program (eager FFT ops
+        # are not individually supported on all TPU runtimes)
+        dpsr = jax.jit(DPSR((psr_res,) * 3, sig=2))
     for c in categories:
         cdir = os.path.join(root, c)
         os.makedirs(cdir, exist_ok=True)
@@ -48,14 +66,32 @@ def write_synthetic_shapenet_psr(root: str, categories=("02691156",),
             for name in names:
                 mdir = os.path.join(cdir, name)
                 os.makedirs(mdir, exist_ok=True)
-                # a noisy sphere-ish cloud in ~[-0.5, 0.5] with unit normals
+                # a noisy sphere/ellipsoid cloud in ~[-0.5, 0.5] with normals
                 d = rng.standard_normal((num_points, 3)).astype(np.float32)
                 n = d / np.linalg.norm(d, axis=1, keepdims=True)
-                pts = 0.4 * n + 0.02 * rng.standard_normal((num_points, 3)).astype(np.float32)
+                if shape_variety:
+                    axes = rng.uniform(0.25, 0.45, size=3).astype(np.float32)
+                else:
+                    axes = np.full(3, 0.4, np.float32)
+                pts = axes * n + 0.02 * rng.standard_normal(
+                    (num_points, 3)).astype(np.float32)
+                # ellipsoid surface normal ∝ gradient of Σ (x_i/a_i)^2
+                nrm = n / axes if shape_variety else n
+                nrm = nrm / np.linalg.norm(nrm, axis=1, keepdims=True)
                 np.savez(os.path.join(mdir, "pointcloud.npz"),
-                         points=pts.astype(np.float32), normals=n.astype(np.float32))
+                         points=pts.astype(np.float32),
+                         normals=nrm.astype(np.float32))
                 if with_psr:
-                    psr = rng.uniform(-1, 1, (psr_res, psr_res, psr_res))
+                    if dpsr is not None:
+                        import jax.numpy as jnp
+                        # match the SAP training-path mapping into DPSR's
+                        # [0,1) cube (sap/refine.py: raw/1.2 + 0.5)
+                        g = np.clip(np.asarray(pts, np.float32) / 1.2 + 0.5,
+                                    0.0, 0.99)
+                        psr = np.asarray(dpsr(jnp.asarray(g[None]),
+                                              jnp.asarray(nrm[None]))[0])
+                    else:
+                        psr = rng.uniform(-1, 1, (psr_res,) * 3)
                     np.savez(os.path.join(mdir, "psr.npz"),
                              psr=psr.astype(np.float32))
     return root

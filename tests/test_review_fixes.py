@@ -109,3 +109,27 @@ def test_gather_cli_merges_rank_shards(tmp_path):
         assert d["points"].shape == (6, 64, 3)
         assert list(d["label"]) == [0, 0, 0, 1, 1, 1]
     assert not (tmp_path / "shapenet_psr_generated_data_64_pts_rank_0.npz").exists()
+
+
+def test_synthetic_psr_from_points(tmp_path):
+    """psr_from_points writes a real DPSR indicator grid (inside/outside sign
+    structure) instead of uniform noise; shape_variety varies the ellipsoid."""
+    from slide_tpu.data import write_synthetic_shapenet_psr
+    root = write_synthetic_shapenet_psr(
+        str(tmp_path / "ds"), categories=("02691156",), models_per_split=1,
+        num_points=2000, psr_res=32, shape_variety=True, psr_from_points=True)
+    with np.load(f"{root}/02691156/train_model_0/psr.npz") as d:
+        psr = d["psr"]
+    assert psr.shape == (32, 32, 32)
+    assert np.isfinite(psr).all()
+    center = psr[16, 16, 16]
+    corner = psr[1, 1, 1]
+    # indicator: opposite signs inside vs outside the closed surface
+    assert center * corner < 0
+    # two models differ under shape_variety
+    root2 = write_synthetic_shapenet_psr(
+        str(tmp_path / "ds2"), categories=("02691156",), models_per_split=2,
+        num_points=500, psr_res=16, shape_variety=True, psr_from_points=False)
+    a = np.load(f"{root2}/02691156/train_model_0/pointcloud.npz")["points"]
+    b = np.load(f"{root2}/02691156/train_model_1/pointcloud.npz")["points"]
+    assert abs(np.abs(a).max(axis=0) - np.abs(b).max(axis=0)).max() > 0.01
