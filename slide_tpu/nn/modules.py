@@ -41,7 +41,10 @@ def _use_global_attention(setting: Optional[dict]) -> bool:
     return bool(setting) and bool(setting.get("use_global_attention_module", False))
 
 
-_QUANTILES = jnp.linspace(0.0, 1.0, 11)
+# Plain-Python constant: a module-level jnp.linspace would allocate a device
+# array at import time and initialise the default backend before callers can
+# pick a platform (breaks forced-CPU multi-chip dryruns).
+_QUANTILES = tuple(i / 10.0 for i in range(11))
 
 
 def _sow_neighbor_stats(module: nn.Module, counts):
@@ -52,7 +55,8 @@ def _sow_neighbor_stats(module: nn.Module, counts):
     c = counts.astype(jnp.float32)
     module.sow("neighbor_stats", "min_mean_max",
                jnp.stack([c.min(), c.mean(), c.max()]))
-    module.sow("neighbor_stats", "quantile", jnp.quantile(c, _QUANTILES))
+    module.sow("neighbor_stats", "quantile",
+               jnp.quantile(c, jnp.asarray(_QUANTILES, jnp.float32)))
 
 
 class SAModule(nn.Module):
