@@ -1,23 +1,39 @@
-"""Benchmark: the reference's headline sampling workload (README.md:83-90) —
-position-DDPM generation of sparse latent point sets, batch 200, T=1000
-reverse steps — compiled to one lax.scan on the local accelerator.
+"""Benchmark: END-TO-END mesh generation, the BASELINE.json north-star metric
+(meshes/sec/chip) — position DDPM (T=1000) -> feature DDPM (T=1000) -> AE
+decode (16 -> 2048 pts) -> SAP refine+upsample -> DPSR 128^3 -> marching
+(host), at full shipped-config model sizes, with host mesh extraction
+OVERLAPPED with the next batch's device work (steady-state pipeline).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 
-vs_baseline: the reference publishes no wall-time numbers (BASELINE.md), so
-the baseline is the reference pipeline's per-step cost structure measured in
-denoise steps/sec.  We report our absolute steps/sec and use a conservative
-A100 estimate of the reference's torch loop (~60 steps/s for batch 200 on the
-16-point network, dominated by per-step python+kernel-launch overhead) until a
-measured baseline lands.
+vs_baseline derivation (no guesses — see benchmarks/reference_baseline.py,
+whose measured output is committed as benchmarks/reference_baseline.json):
+the reference publishes no wall-time numbers, so we bound it from above.  Its
+generation pipeline is a python eager loop issuing (counted with
+torch.profiler on the reference's own model code) 1362 aten dispatches per
+position-net forward and 1395 per latent-net forward, 1000 reverse steps each.
+An eager step can never be faster than its dispatch cost, so the A100 ceiling
+is  t_ref_device >= T * (1362 + 1395) * per_op_dispatch_cost, with kernel
+execution time, AE/SAP/DPSR forwards, and host<->device transfers all counted
+as ZERO (maximally generous to the reference).  per-op dispatch cost is
+measured on this host (3.6 us).  Host mesh extraction is charged to the
+reference at OUR measured per-batch marching cost (same algorithm class, same
+host budget).  vs_baseline = our meshes/s / that ceiling's meshes/s — a LOWER
+bound on the true speedup.
+
+detail.denoise_steps_per_sec vs detail.a100_eager_ceiling_steps_per_sec_kp
+gives the same honest ratio for the round-1 headline workload (batch-200
+position sampling, README.md:83-90).
 """
 
 import json
 import os
 import sys
+import threading
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 _plat = os.environ.get("JAX_PLATFORMS", "")
 if _plat and "cpu" not in _plat:
     # keep the accelerator first (stays default) but allow CPU-side init
@@ -25,49 +41,49 @@ if _plat and "cpu" not in _plat:
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 try:
     jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "benchmarks", ".jax_cache"))
+                      os.path.join(_REPO, "benchmarks", ".jax_cache"))
 except Exception:
     pass
 
 
-A100_REFERENCE_STEPS_PER_SEC = 60.0   # torch loop estimate, see docstring
+def _load_baseline():
+    with open(os.path.join(_REPO, "benchmarks", "reference_baseline.json")) as f:
+        return json.load(f)
 
 
-def main():
+def bench_denoise_steps(batch=200, t_steps=1000):
+    """Round-1 headline: position-DDPM sampling, batch 200, T=1000, fused
+    single-kernel denoiser (SLIDE_TPU_FUSED=0 falls back to flax)."""
     from slide_tpu.configs import keypoint_ddpm_config
     from slide_tpu.models import ConditionalPointNet2
     from slide_tpu.diffusion import calc_diffusion_hyperparams, diffusion_sampling
 
-    batch, num_points, t_steps = 200, 16, 1000
     cfg = keypoint_ddpm_config("airplane")
     net = ConditionalPointNet2(cfg["pointnet_config"])
-    x = jnp.zeros((2, num_points, 3))
     label = jnp.zeros((batch,), jnp.int32)
     try:        # init on CPU: the remote-compile tunnel makes on-TPU init slow
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            variables = net.init(jax.random.key(0), x,
+            variables = net.init(jax.random.key(0), jnp.zeros((2, 16, 3)),
                                  ts=jnp.zeros((2,), jnp.int32),
                                  label=jnp.zeros((2,), jnp.int32))
         variables = jax.device_put(variables, jax.devices()[0])
     except RuntimeError:
-        variables = net.init(jax.random.key(0), x,
+        variables = net.init(jax.random.key(0), jnp.zeros((2, 16, 3)),
                              ts=jnp.zeros((2,), jnp.int32),
                              label=jnp.zeros((2,), jnp.int32))
     sched = calc_diffusion_hyperparams(t_steps, 1e-4, 0.02)
 
-    # the fused single-kernel denoiser (models/fused_denoiser.py) is ~1.8x
-    # the flax path on this workload; SLIDE_TPU_FUSED=0 falls back
     fused = None
     if os.environ.get("SLIDE_TPU_FUSED", "1") != "0" \
             and jax.default_backend() not in ("cpu",):
         from slide_tpu.models.fused_denoiser import make_fused_net_fn
         fused = make_fused_net_fn(cfg["pointnet_config"], variables["params"],
-                                  num_points, block_b=40)
+                                  16, block_b=40)
 
     if fused is not None:
         def net_fn(xx, ts):
@@ -77,7 +93,7 @@ def main():
             return net.apply(variables, xx, ts=ts, label=label)
 
     sample = jax.jit(lambda key: diffusion_sampling(
-        net_fn, key, (batch, num_points, 3), sched))
+        net_fn, key, (batch, 16, 3), sched))
 
     jax.block_until_ready(sample(jax.random.key(1)))      # compile
     n_runs = 3
@@ -85,13 +101,102 @@ def main():
     for i in range(n_runs):
         jax.block_until_ready(sample(jax.random.key(2 + i)))
     dt = (time.perf_counter() - t0) / n_runs
+    return t_steps / dt
 
-    steps_per_sec = t_steps / dt
+
+def bench_e2e(batch=16, t_steps=1000, rounds=2):
+    """Steady-state end-to-end meshes/sec/chip with marching overlapped."""
+    from benchmarks.e2e_pipeline import build_stages, device_chain
+    from slide_tpu.sap.marching import mc_from_psr
+
+    stages = build_stages(batch, t_steps=t_steps, verbose=True)
+
+    mesh_counts = []
+    march_times = []
+
+    def march(grid):
+        t0 = time.perf_counter()
+        verts_l, _, _ = mc_from_psr(np.asarray(grid),
+                                    num_threads=min(batch, os.cpu_count() or 1))
+        march_times.append(time.perf_counter() - t0)
+        mesh_counts.append(sum(1 for v in verts_l if len(v)))
+
+    # warmup: compile everything, measure per-stage device time + march time
+    print("bench_e2e: compiling + warmup ...", flush=True)
+    tw0 = time.perf_counter()
+    grid = device_chain(stages, jax.random.key(100))
+    tw1 = time.perf_counter()
+    grid = device_chain(stages, jax.random.key(101))   # post-compile device time
+    tw2 = time.perf_counter()
+    march(grid)
+    device_s = tw2 - tw1
+    warm_march_s = march_times[-1]
+    print(f"bench_e2e: device {device_s:.2f}s/batch, marching "
+          f"{warm_march_s:.2f}s/batch (compile+warmup {tw1 - tw0:.0f}s)",
+          flush=True)
+    mesh_counts.clear()
+    march_times.clear()
+
+    # steady state: march batch r-1 on host while batch r runs on device
+    t0 = time.perf_counter()
+    prev = device_chain(stages, jax.random.key(200))
+    th = None
+    for r in range(1, rounds):
+        th = threading.Thread(target=march, args=(prev,))
+        th.start()
+        prev = device_chain(stages, jax.random.key(200 + r))
+        th.join()
+    march(prev)
+    wall = time.perf_counter() - t0
+
+    total_meshes = int(np.sum(mesh_counts))
+    return {
+        "wall_s": wall, "rounds": rounds, "batch": batch,
+        "meshes": total_meshes,
+        "meshes_per_sec": rounds * batch / wall,
+        "nonempty_meshes_per_sec": total_meshes / wall,
+        "device_s_per_batch": device_s,
+        "march_s_per_batch": float(np.mean(march_times)),
+    }
+
+
+def main():
+    base = _load_baseline()
+    on_accel = jax.default_backend() not in ("cpu",)
+    t_steps = 1000 if on_accel else 20   # CPU fallback: smoke numbers only
+    batch = 16
+
+    e2e = bench_e2e(batch=batch, t_steps=t_steps)
+    steps_per_sec = bench_denoise_steps(batch=200, t_steps=t_steps)
+
+    # reference A100 eager ceiling for the same e2e batch (see docstring)
+    disp_s = base["per_op_dispatch_us"] * 1e-6
+    ref_device_s = t_steps * (base["kp_net_aten_dispatches_per_forward"]
+                              + base["latent_net_aten_dispatches_per_forward"]) * disp_s
+    ref_total_s = ref_device_s + e2e["march_s_per_batch"]
+    ref_meshes_per_sec = batch / ref_total_s
+
+    kp_ceiling = 1e6 / (base["kp_net_aten_dispatches_per_forward"]
+                        * base["per_op_dispatch_us"])
+
     print(json.dumps({
-        "metric": "ddpm_denoise_steps_per_sec_batch200",
-        "value": round(steps_per_sec, 2),
-        "unit": "steps/s",
-        "vs_baseline": round(steps_per_sec / A100_REFERENCE_STEPS_PER_SEC, 2),
+        "metric": "e2e_meshes_per_sec_per_chip",
+        "value": round(e2e["meshes_per_sec"], 3),
+        "unit": "meshes/s",
+        "vs_baseline": round(e2e["meshes_per_sec"] / ref_meshes_per_sec, 2),
+        "detail": {
+            "batch": batch, "t_steps": t_steps,
+            "device_s_per_batch": round(e2e["device_s_per_batch"], 3),
+            "march_s_per_batch": round(e2e["march_s_per_batch"], 3),
+            "nonempty_meshes_per_sec": round(e2e["nonempty_meshes_per_sec"], 3),
+            "denoise_steps_per_sec_batch200": round(steps_per_sec, 2),
+            "a100_eager_ceiling_steps_per_sec_kp": round(kp_ceiling, 1),
+            "denoise_vs_a100_ceiling": round(steps_per_sec / kp_ceiling, 2),
+            "ref_e2e_ceiling_meshes_per_sec": round(ref_meshes_per_sec, 3),
+            "baseline_derivation": "benchmarks/reference_baseline.json "
+                                   "(measured dispatch cost x counted aten ops; "
+                                   "zero kernel time => upper bound)",
+        },
     }))
 
 

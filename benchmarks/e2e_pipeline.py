@@ -6,6 +6,9 @@ throughput is weight-independent).
 
 Usage: python benchmarks/e2e_pipeline.py [--batch 16] [--t 1000] [--fastdpm N]
 Prints per-stage timings and meshes/sec/chip.
+
+`build_stages()` is importable (bench.py reuses it for the driver-captured
+meshes/sec number).
 """
 
 from __future__ import annotations
@@ -24,16 +27,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".jax_cache"))
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+except Exception:
+    pass
 
 
 def _cpu_init(fn, *args, **kwargs):
     """Run a flax init on CPU (local compile) and ship params to the default
     accelerator — the remote-compile tunnel makes on-TPU init traces cost
     minutes each."""
-    cpu = jax.devices("cpu")[0]
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return fn(*args, **kwargs)
     with jax.default_device(cpu):
         variables = fn(*args, **kwargs)
     return jax.device_put(variables, jax.devices()[0])
@@ -43,27 +52,21 @@ def _log(msg, t0):
     print(f"[{time.perf_counter() - t0:7.1f}s] {msg}", flush=True)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--t", type=int, default=1000)
-    ap.add_argument("--fastdpm", type=int, default=0,
-                    help="if >0, use FastDPM STEP sampling with this many steps "
-                         "for the position chain")
-    ap.add_argument("--skip-mesh", action="store_true")
-    # optional trained checkpoints (pointnet_ckpt_<i>.pkl); random init if absent
-    ap.add_argument("--kp_ckpt", type=str, default=None)
-    ap.add_argument("--lat_ckpt", type=str, default=None)
-    ap.add_argument("--ae_ckpt", type=str, default=None)
-    ap.add_argument("--sap_ckpt", type=str, default=None)
-    ap.add_argument("--ema_idx", type=int, default=-1)
-    args = ap.parse_args()
+def build_stages(batch, t_steps=1000, fastdpm=0, ckpts=None, ema_idx=-1,
+                 verbose=True):
+    """Build the four jitted pipeline stages at full shipped-config sizes.
 
-    def _maybe_load(vars_, ckpt_path):
-        if ckpt_path is None:
+    Returns a dict with jitted fns: sample_kp(key), sample_lat(key, kp),
+    decode(kp, feat, key), sap(cloud, key) -> dpsr grid.
+    `ckpts`: optional dict kp/lat/ae/sap -> checkpoint path.
+    """
+    ckpts = ckpts or {}
+
+    def _maybe_load(vars_, name):
+        if ckpts.get(name) is None:
             return vars_
         from slide_tpu.cli import load_inference_params
-        return {"params": load_inference_params(ckpt_path, args.ema_idx)}
+        return {"params": load_inference_params(ckpts[name], ema_idx)}
 
     from slide_tpu.configs import (keypoint_ddpm_config, latent_ddpm_config,
                                    autoencoder_config, upsampler_config)
@@ -73,32 +76,31 @@ def main():
                                      diffusion_sampling, fast_sampling)
     from slide_tpu.diffusion.x0 import X0Schedule, x0_denoise
     from slide_tpu.sap import DPSR, mirror_and_concat, network_output_to_dpsr_grid
-    from slide_tpu.sap.marching import mc_from_psr
 
-    b = args.batch
+    b = batch
     label = jnp.zeros((b,), jnp.int32)
-    key = jax.random.key(0)
     t_start = time.perf_counter()
+    log = (lambda m: _log(m, t_start)) if verbose else (lambda m: None)
 
     # ---- stage models (full shipped sizes)
     kp_cfg = keypoint_ddpm_config("airplane")
-    kp_cfg["diffusion_config"]["T"] = args.t
+    kp_cfg["diffusion_config"]["T"] = t_steps
     kp_net = ConditionalPointNet2(kp_cfg["pointnet_config"])
     kp_vars = _cpu_init(kp_net.init, jax.random.key(1), jnp.zeros((2, 16, 3)),
                         ts=jnp.zeros((2,), jnp.int32),
                         label=jnp.zeros((2,), jnp.int32))
-    kp_vars = _maybe_load(kp_vars, args.kp_ckpt)
-    _log("position net init", t_start)
-    kp_sched = calc_diffusion_hyperparams(args.t, 1e-4, 0.02)
+    kp_vars = _maybe_load(kp_vars, "kp")
+    log("position net init")
+    kp_sched = calc_diffusion_hyperparams(t_steps, 1e-4, 0.02)
 
     lat_cfg = latent_ddpm_config("airplane")
-    lat_cfg["standard_diffusion_config"]["num_diffusion_timesteps"] = args.t
+    lat_cfg["standard_diffusion_config"]["num_diffusion_timesteps"] = t_steps
     lat_net = ConditionalPointNet2(lat_cfg["pointnet_config"])
     lat_vars = _cpu_init(lat_net.init, jax.random.key(2), jnp.zeros((2, 16, 51)),
                          ts=jnp.zeros((2,), jnp.int32),
                          label=jnp.zeros((2,), jnp.int32))
-    lat_vars = _maybe_load(lat_vars, args.lat_ckpt)
-    _log("latent net init", t_start)
+    lat_vars = _maybe_load(lat_vars, "lat")
+    log("latent net init")
     lat_sched = X0Schedule.from_config(lat_cfg["standard_diffusion_config"])
 
     ae_cfg = autoencoder_config("airplane")
@@ -107,15 +109,15 @@ def main():
                         "gaussian": jax.random.key(4), "fps": jax.random.key(5)},
                         jnp.zeros((2, 2048, 6)), jnp.zeros((2, 16, 3)),
                         label=jnp.zeros((2,), jnp.int32))
-    ae_vars = _maybe_load(ae_vars, args.ae_ckpt)
-    _log("autoencoder init", t_start)
+    ae_vars = _maybe_load(ae_vars, "ae")
+    log("autoencoder init")
 
     sap_cfg = upsampler_config()
     sap_net = ConditionalPointNet2(sap_cfg["pointnet_config"])
     sap_vars = _cpu_init(sap_net.init, jax.random.key(6), jnp.zeros((2, 2048, 7)),
                          ts=None, label=jnp.zeros((2,), jnp.int32))
-    sap_vars = _maybe_load(sap_vars, args.sap_ckpt)
-    _log("sap net init", t_start)
+    sap_vars = _maybe_load(sap_vars, "sap")
+    log("sap net init")
     dpsr = DPSR((128, 128, 128), sig=2)
 
     # ---- jitted stage functions
@@ -139,10 +141,10 @@ def main():
             return kp_fused(x, ts, label)
         return kp_net.apply(kp_vars, x, ts=ts, label=label)
 
-    if args.fastdpm > 0:
+    if fastdpm > 0:
         sample_kp = jax.jit(lambda k: fast_sampling(
             kp_net_fn, k, (b, 16, 3), kp_sched, kp_cfg["diffusion_config"],
-            length=args.fastdpm, sampling_method="step", schedule="quadratic",
+            length=fastdpm, sampling_method="step", schedule="quadratic",
             kappa=0.5))
     else:
         sample_kp = jax.jit(lambda k: diffusion_sampling(
@@ -171,16 +173,54 @@ def main():
 
     sap = jax.jit(sap_fn)
 
+    return {"sample_kp": sample_kp, "sample_lat": sample_lat, "decode": decode,
+            "sap": sap, "batch": b, "t_steps": t_steps}
+
+
+def device_chain(stages, key):
+    """One device pass: keys -> dpsr grid (blocking)."""
+    ks = jax.random.split(key, 4)
+    kp = stages["sample_kp"](ks[0])
+    latent = stages["sample_lat"](ks[1], kp)
+    cloud = stages["decode"](latent[..., :3], latent[..., 3:], ks[2])
+    return jax.block_until_ready(stages["sap"](cloud, ks[3]))
+
+
+def main():
+    from slide_tpu.sap.marching import mc_from_psr
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--t", type=int, default=1000)
+    ap.add_argument("--fastdpm", type=int, default=0,
+                    help="if >0, use FastDPM STEP sampling with this many steps "
+                         "for the position chain")
+    ap.add_argument("--skip-mesh", action="store_true")
+    # optional trained checkpoints (pointnet_ckpt_<i>.pkl); random init if absent
+    ap.add_argument("--kp_ckpt", type=str, default=None)
+    ap.add_argument("--lat_ckpt", type=str, default=None)
+    ap.add_argument("--ae_ckpt", type=str, default=None)
+    ap.add_argument("--sap_ckpt", type=str, default=None)
+    ap.add_argument("--ema_idx", type=int, default=-1)
+    args = ap.parse_args()
+
+    b = args.batch
+    stages = build_stages(b, t_steps=args.t, fastdpm=args.fastdpm,
+                          ckpts={"kp": args.kp_ckpt, "lat": args.lat_ckpt,
+                                 "ae": args.ae_ckpt, "sap": args.sap_ckpt},
+                          ema_idx=args.ema_idx)
+
     def run_once(key):
         ks = jax.random.split(key, 4)
         t0 = time.perf_counter()
-        kp = jax.block_until_ready(sample_kp(ks[0]))
+        kp = jax.block_until_ready(stages["sample_kp"](ks[0]))
         t1 = time.perf_counter()
-        latent = jax.block_until_ready(sample_lat(ks[1], kp))
+        latent = jax.block_until_ready(stages["sample_lat"](ks[1], kp))
         t2 = time.perf_counter()
-        cloud = jax.block_until_ready(decode(latent[..., :3], latent[..., 3:], ks[2]))
+        cloud = jax.block_until_ready(
+            stages["decode"](latent[..., :3], latent[..., 3:], ks[2]))
         t3 = time.perf_counter()
-        grid = jax.block_until_ready(sap(cloud, ks[3]))
+        grid = jax.block_until_ready(stages["sap"](cloud, ks[3]))
         t4 = time.perf_counter()
         n_mesh = 0
         if not args.skip_mesh:

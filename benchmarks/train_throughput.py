@@ -1,0 +1,217 @@
+"""Training-step throughput for all four task drivers on the local accelerator
+(VERDICT r1 item 3: the reference's dominant compute is training —
+`README_training.md:25-77` — so train steps/s is a first-class number).
+
+Workloads (shipped-config batch sizes, synthetic data):
+  kp  — position DDPM, keypoint task: batch 32, 16 pts (train.py)
+  lat — latent/feature DDPM: batch 32, 16 x (3+48) with frozen AE encode
+        (train_latent_ddpm.py)
+  ae  — autoencoder: batch 32, 2048 pts + normals (train_autoencoder.py)
+  sap — SAP upsampler: batch 8, 2048->mirror->4096 pts + DPSR grid loss
+        (train_upsampler.py; batch 8 ~= reference's 16/2xA100 per-GPU share)
+
+Usage: python benchmarks/train_throughput.py [kp lat ae sap]
+Prints one JSON line per workload.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+except Exception:
+    pass
+
+
+def _cpu_init(fn, *args, **kwargs):
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return fn(*args, **kwargs)
+    with jax.default_device(cpu):
+        out = fn(*args, **kwargs)
+    return jax.device_put(out, jax.devices()[0])
+
+
+def _time_steps(step, state, batch, n_steps=20, warmup=True):
+    key = jax.random.key(7)
+    if warmup:
+        state, loss = step(state, batch, key)
+        jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, loss = step(state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / n_steps
+    return dt, float(loss)
+
+
+def bench_kp(n_steps=20):
+    from slide_tpu.configs import keypoint_ddpm_config
+    from slide_tpu.diffusion import calc_diffusion_hyperparams
+    from slide_tpu.models import ConditionalPointNet2
+    from slide_tpu.train.driver import TrainState, make_train_step
+    from slide_tpu.train.ema import ema_init
+
+    b = 32
+    cfg = keypoint_ddpm_config("airplane", batch_size=b)
+    ts_cfg = cfg["shapenet_psr_dataset_config"]
+    net = ConditionalPointNet2(cfg["pointnet_config"])
+    dc = cfg["diffusion_config"]
+    sched = calc_diffusion_hyperparams(dc["T"], dc["beta_0"], dc["beta_T"])
+    variables = _cpu_init(net.init, jax.random.key(0), jnp.zeros((2, 16, 3)),
+                          ts=jnp.zeros((2,), jnp.int32),
+                          label=jnp.zeros((2,), jnp.int32))
+    optimizer = optax.adam(2e-4)
+    rates = (0.999, 0.9999)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
+                       opt_state=_cpu_init(optimizer.init, variables["params"]),
+                       ema=ema_init(variables["params"], rates))
+    step = jax.jit(make_train_step(net, sched, optimizer, rates,
+                                   "keypoint_generation", ts_cfg),
+                   donate_argnums=0)
+    npts = ts_cfg["npoints"]
+    batch = {"points": jax.random.normal(jax.random.key(1), (b, npts, 3)),
+             "normals": jax.random.normal(jax.random.key(2), (b, npts, 3)),
+             "label": jnp.zeros((b,), jnp.int32)}
+    dt, loss = _time_steps(step, state, batch, n_steps)
+    return {"workload": "kp_ddpm_train_b32", "sec_per_step": dt,
+            "steps_per_sec": 1 / dt, "loss": loss}
+
+
+def bench_lat(n_steps=20):
+    from slide_tpu.configs import latent_ddpm_config, autoencoder_config
+    from slide_tpu.diffusion.x0 import X0Schedule
+    from slide_tpu.models import ConditionalPointNet2
+    from slide_tpu.train import build_autoencoder
+    from slide_tpu.train.driver import TrainState, make_latent_train_step
+    from slide_tpu.train.ema import ema_init
+
+    b = 32
+    cfg = latent_ddpm_config("airplane", batch_size=b)
+    ts_cfg = cfg["shapenet_psr_dataset_config"]
+    net = ConditionalPointNet2(cfg["pointnet_config"])
+    sched = X0Schedule.from_config(cfg["standard_diffusion_config"])
+    variables = _cpu_init(net.init, jax.random.key(0), jnp.zeros((2, 16, 51)),
+                          ts=jnp.zeros((2,), jnp.int32),
+                          label=jnp.zeros((2,), jnp.int32))
+    ae_cfg = autoencoder_config("airplane")
+    ae = build_autoencoder(ae_cfg["pointnet_config"])
+    ae_vars = _cpu_init(ae.init, {"params": jax.random.key(3),
+                        "gaussian": jax.random.key(4), "fps": jax.random.key(5)},
+                        jnp.zeros((2, 2048, 6)), jnp.zeros((2, 16, 3)),
+                        label=jnp.zeros((2,), jnp.int32))
+    optimizer = optax.adam(2e-4)
+    rates = (0.999, 0.9999)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
+                       opt_state=_cpu_init(optimizer.init, variables["params"]),
+                       ema=ema_init(variables["params"], rates))
+    step = jax.jit(make_latent_train_step(
+        net, ae, ae_vars["params"], sched, cfg["standard_diffusion_config"],
+        optimizer, rates, ts_cfg), donate_argnums=0)
+    npts = ts_cfg["npoints"]
+    batch = {"points": jax.random.normal(jax.random.key(1), (b, npts, 3)),
+             "normals": jax.random.normal(jax.random.key(2), (b, npts, 3)),
+             "label": jnp.zeros((b,), jnp.int32)}
+    dt, loss = _time_steps(step, state, batch, n_steps)
+    return {"workload": "latent_ddpm_train_b32", "sec_per_step": dt,
+            "steps_per_sec": 1 / dt, "loss": loss}
+
+
+def bench_ae(n_steps=10):
+    from slide_tpu.configs import autoencoder_config
+    from slide_tpu.train import build_autoencoder
+    from slide_tpu.train.driver import TrainState, make_ae_train_step
+    from slide_tpu.train.ema import ema_init
+
+    b = 32
+    cfg = autoencoder_config("airplane", batch_size=b)
+    ts_cfg = cfg["shapenet_psr_dataset_config"]
+    ae = build_autoencoder(cfg["pointnet_config"])
+    variables = _cpu_init(ae.init, {"params": jax.random.key(3),
+                          "gaussian": jax.random.key(4), "fps": jax.random.key(5)},
+                          jnp.zeros((2, 2048, 6)), jnp.zeros((2, 16, 3)),
+                          label=jnp.zeros((2,), jnp.int32))
+    optimizer = optax.adam(2e-4)
+    rates = (0.999, 0.9999)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
+                       opt_state=_cpu_init(optimizer.init, variables["params"]),
+                       ema=ema_init(variables["params"], rates))
+    step = jax.jit(make_ae_train_step(ae, optimizer, rates, ts_cfg),
+                   donate_argnums=0)
+    npts = ts_cfg["npoints"]
+    batch = {"points": jax.random.normal(jax.random.key(1), (b, npts, 3)),
+             "normals": jax.random.normal(jax.random.key(2), (b, npts, 3)),
+             "label": jnp.zeros((b,), jnp.int32)}
+    dt, loss = _time_steps(step, state, batch, n_steps)
+    return {"workload": "ae_train_b32", "sec_per_step": dt,
+            "steps_per_sec": 1 / dt, "loss": loss}
+
+
+def bench_sap(n_steps=10):
+    from slide_tpu.configs import upsampler_config
+    from slide_tpu.models import ConditionalPointNet2
+    from slide_tpu.sap import DPSR
+    from slide_tpu.train.driver import TrainState, make_upsampler_train_step
+    from slide_tpu.train.ema import ema_init
+
+    b = 8
+    cfg = upsampler_config(batch_size=b)
+    ts_cfg = cfg["shapenet_psr_dataset_config"]
+    net = ConditionalPointNet2(cfg["pointnet_config"])
+    variables = _cpu_init(net.init, jax.random.key(0), jnp.zeros((2, 2048, 7)),
+                          ts=None, label=jnp.zeros((2,), jnp.int32))
+    dpsr_cfg = cfg["dpsr_config"]
+    dpsr = DPSR((dpsr_cfg["grid_res"],) * 3, sig=dpsr_cfg["psr_sigma"])
+    optimizer = optax.adam(2e-4)
+    rates = (0.999,)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
+                       opt_state=_cpu_init(optimizer.init, variables["params"]),
+                       ema=ema_init(variables["params"], rates))
+    step = jax.jit(make_upsampler_train_step(
+        net, dpsr, optimizer, rates, ts_cfg, dpsr_cfg, cfg["pointnet_config"]),
+        donate_argnums=0)
+    npts = ts_cfg["npoints"]
+    batch = {"points": jax.random.normal(jax.random.key(1), (b, npts, 3)),
+             "normals": jax.random.normal(jax.random.key(2), (b, npts, 3)),
+             "psr": jax.random.normal(jax.random.key(3), (b, 128, 128, 128)),
+             "label": jnp.zeros((b,), jnp.int32)}
+    dt, loss = _time_steps(step, state, batch, n_steps)
+    return {"workload": "sap_train_b8", "sec_per_step": dt,
+            "steps_per_sec": 1 / dt, "loss": loss}
+
+
+BENCHES = {"kp": bench_kp, "lat": bench_lat, "ae": bench_ae, "sap": bench_sap}
+
+
+def main():
+    names = sys.argv[1:] or list(BENCHES)
+    results = {}
+    for name in names:
+        print(f"--- {name}", flush=True)
+        r = BENCHES[name]()
+        r = {k: round(v, 4) if isinstance(v, float) else v for k, v in r.items()}
+        results[name] = r
+        print(json.dumps(r), flush=True)
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "train_throughput.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
