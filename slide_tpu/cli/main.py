@@ -157,7 +157,7 @@ def cmd_latent_generate(args):
         from slide_tpu.models.fused_denoiser import make_fused_net_fn
         fused = make_fused_net_fn(config["pointnet_config"], params, k)
 
-    def latent_sampler(key, label, keypoint):
+    def latent_sampler(key, label, keypoint, **resample_kw):
         def net_fn(x, ts):
             if fused is not None and x.shape[0] % fused.block_b == 0:
                 return fused(x, ts, label)
@@ -169,7 +169,16 @@ def cmd_latent_generate(args):
 
         return latent_denoise_and_reconstruct(
             net_fn, decode_fn, key, label.shape[0], 3, (k, 3 + feat_dim),
-            sched, label=label, keypoint=keypoint)
+            sched, label=label, keypoint=keypoint, **resample_kw)
+
+    # partial shape editing: re-generate only masked keypoints' latents
+    # (`mesh_evaluation.py:113-118`, `diffusion.py:352-359`)
+    local_resampling = getattr(args, "local_resampling_file", None) is not None
+    complete_x0 = keypoint_mask = None
+    if local_resampling:
+        with np.load(args.local_resampling_file) as d:
+            complete_x0 = d["complete_x0"]
+            keypoint_mask = d["keypoint_mask"]
 
     rank, world = _setup_rank(args)
     evaluate_per_rank(net, params, ts_cfg, None, args.save_dir,
@@ -181,7 +190,9 @@ def cmd_latent_generate(args):
                       external_keypoint_file=args.external_keypoint_file,
                       save_keypoint_feature=args.save_keypoint_feature,
                       split_points_and_normals=True, seed=args.seed,
-                      visualize=not args.no_visualize)
+                      visualize=not args.no_visualize,
+                      local_resampling=local_resampling,
+                      complete_x0=complete_x0, keypoint_mask=keypoint_mask)
 
 
 def _load_ae(args, config):
@@ -370,6 +381,10 @@ def main(argv=None):
     sp.add_argument("--batch_size", type=int, default=None)
     sp.add_argument("--save_dir", default="latent_generated_point_clouds")
     sp.add_argument("--external_keypoint_file", type=str, default=None)
+    sp.add_argument("--local_resampling_file", type=str, default=None,
+                    help="npz with complete_x0 (B,K,3+F) and keypoint_mask "
+                         "(B,K): re-generate only masked keypoints' latents "
+                         "(partial shape editing)")
     sp.add_argument("--save_keypoint_feature", action="store_true")
     sp.add_argument("--no_visualize", action="store_true")
     ranked(sp)

@@ -27,6 +27,8 @@ from slide_tpu.diffusion.x0 import (
     x0_training_loss,
     x0_denoise,
     denoising_step,
+    diffuse,
+    diffuse_t_steps,
 )
 
 __all__ = [
@@ -34,5 +36,5 @@ __all__ = [
     "diffusion_training_loss", "diffusion_sampling",
     "fast_sampling", "get_var_noise", "get_step_steps",
     "get_beta_schedule", "X0Schedule", "x0_training_loss", "x0_denoise",
-    "denoising_step",
+    "denoising_step", "diffuse", "diffuse_t_steps",
 ]

@@ -235,3 +235,37 @@ def x0_denoise(net_fn: Callable, key: jax.Array, shape: Sequence[int],
     ts_seq = jnp.arange(curr - 1, curr - steps - 1, -1, dtype=jnp.int32)
     (x, _), _ = lax.scan(step, (x, key), ts_seq)
     return pin(x)
+
+
+def diffuse(key: jax.Array, x: jax.Array, sched: X0Schedule, *,
+            curr_step: int = 0, n_steps: Optional[int] = None) -> jax.Array:
+    """FORWARD diffusion q(x_{t+n} | x_t) step by step — the reference's
+    `Diffusion.diffuse` (`diffusion.py:250-272`), a loop of
+    `diffusion_step` (`diffusion.py:42-56`), compiled to one lax.scan.
+
+    x is x_{curr_step}; returns x_{curr_step + n_steps}.
+    """
+    if curr_step >= sched.T:
+        raise ValueError(f"curr_step {curr_step} must be < T={sched.T}")
+    if n_steps is None or curr_step + n_steps > sched.T:
+        n_steps = sched.T - curr_step
+
+    def step(carry, t):
+        x, key = carry
+        key, k = jax.random.split(key)
+        noise = jax.random.normal(k, x.shape, x.dtype)
+        x = (_bc(sched.sqrt_alphas, t[None], x.ndim) * x
+             + _bc(sched.sqrt_one_minus_alphas, t[None], x.ndim) * noise)
+        return (x, key), None
+
+    ts_seq = jnp.arange(curr_step, curr_step + n_steps, dtype=jnp.int32)
+    (x, _), _ = lax.scan(step, (x, key), ts_seq)
+    return x
+
+
+def diffuse_t_steps(key: jax.Array, x0: jax.Array, t, sched: X0Schedule) -> jax.Array:
+    """One-shot forward jump x_t ~ q(x_t | x_0) — the reference's
+    `Diffusion.diffuse_t_steps` (`diffusion.py:274-279`).  `t` in [0, T-1]."""
+    abar = sched.alphas_cumprod[t]
+    noise = jax.random.normal(key, x0.shape, x0.dtype)
+    return jnp.sqrt(abar) * x0 + jnp.sqrt(1.0 - abar) * noise

@@ -42,7 +42,9 @@ def evaluate_per_rank(net, params, trainset_config: dict, sched, save_dir: str,
                       save_keypoint_feature: bool = False, seed: int = 0,
                       use_dummy_dataset: Optional[bool] = None,
                       visualize: bool = False, mesh=None,
-                      custom_sampler: Optional[Callable] = None):
+                      custom_sampler: Optional[Callable] = None,
+                      local_resampling: bool = False,
+                      complete_x0=None, keypoint_mask=None):
     """Sample and write this rank's npz shard.
 
     latent_sampler, if given, replaces the eps-engine chain (latent diffusion
@@ -52,9 +54,20 @@ def evaluate_per_rank(net, params, trainset_config: dict, sched, save_dir: str,
     non-latent tasks (e.g. the x0/chamfer-loss engine, whose reverse chain the
     reference drives via `diffusion_model.denoise`,
     `mesh_evaluation.py:103-125`).
+
+    local_resampling (`mesh_evaluation.py:18, 113-118`): with
+    `complete_x0` (B, K, 3+F) and `keypoint_mask` (B, K), only masked
+    keypoints' latents are re-generated; the rest stay pinned to complete_x0
+    (partial shape editing).  Rows are consumed batch-by-batch in loader
+    order; requires a latent task.
     """
     if task not in TASKS:
         raise ValueError(task)
+    if local_resampling:
+        if latent_sampler is None:
+            raise ValueError("local_resampling requires a latent task/sampler")
+        if complete_x0 is None or keypoint_mask is None:
+            raise ValueError("local_resampling requires complete_x0 and keypoint_mask")
     if trainset_config["dataset"] != "shapenet_psr_dataset":
         raise ValueError("only shapenet_psr_dataset is supported")
 
@@ -156,6 +169,7 @@ def evaluate_per_rank(net, params, trainset_config: dict, sched, save_dir: str,
     out = {k: [] for k in ("points", "keypoint", "keypoint_feature", "label",
                            "category", "category_name", "gt_points", "timing")}
     key = jax.random.key(seed + rank)
+    resample_offset = 0
     for idx, data in enumerate(loader):
         label = jnp.asarray(data["label"], jnp.int32)
         b = int(label.shape[0])
@@ -180,7 +194,17 @@ def evaluate_per_rank(net, params, trainset_config: dict, sched, save_dir: str,
         key, k_s = jax.random.split(key)
         t_start = time.time()
         if latent_sampler is not None:
-            pts, kp, kpf = latent_sampler(k_s, label=label, keypoint=keypoint)
+            kw = {}
+            if local_resampling:
+                kw = {"local_resampling": True,
+                      "complete_x0": jnp.asarray(
+                          complete_x0[resample_offset:resample_offset + b],
+                          jnp.float32),
+                      "keypoint_mask": jnp.asarray(
+                          keypoint_mask[resample_offset:resample_offset + b],
+                          jnp.float32)}
+                resample_offset += b
+            pts, kp, kpf = latent_sampler(k_s, label=label, keypoint=keypoint, **kw)
             pts = jax.block_until_ready(pts)
             if task == "latent_generation":
                 out["keypoint"].append(np.asarray(kp))

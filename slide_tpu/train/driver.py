@@ -327,6 +327,60 @@ def make_ae_eval_hook(config: dict, ae, *, data_dir: Optional[str] = None,
     return hook
 
 
+def make_latent_eval_hook(config: dict, net, ae, ae_params, sched: X0Schedule, *,
+                          data_dir: Optional[str] = None, seed: int = 0):
+    """Eval hook for the latent-DDPM driver: per checkpoint, sample latents
+    conditioned on val-set keypoints, decode through the frozen AE, and write
+    the generated npz for model + every EMA — the reference's
+    `train_latent_ddpm.py:283-297` `evaluate_and_gather` per-checkpoint call
+    (`:260-276`)."""
+    from slide_tpu.diffusion.latent import latent_denoise_and_reconstruct
+    from slide_tpu.eval import evaluate_per_rank
+
+    train_config = config["train_config"]
+    trainset_config = dict(config["shapenet_psr_dataset_config"])
+    if data_dir is not None:
+        trainset_config["data_dir"] = data_dir
+    ema_rates = tuple(train_config.get("ema_rate") or ())
+    task = train_config["task"]
+    exp_root, _ = experiment_dirs(config)
+    state = {"num_ckpts": 0}
+    k = trainset_config["num_keypoints"]
+    feat_dim = config["pointnet_config"]["in_fea_dim"]
+
+    def run_eval(params, save_dir, ckpt_info):
+        params = jax.device_get(params)
+
+        def latent_sampler(key, label, keypoint):
+            def net_fn(x, ts):
+                return net.apply({"params": params}, x, ts=ts, label=label)
+
+            def decode_fn(kp, feat, lbl, kk):
+                return ae.apply({"params": ae_params}, kp, feat, label=lbl,
+                                method=ae.decode, rngs={"fps": kk})
+
+            return latent_denoise_and_reconstruct(
+                net_fn, decode_fn, key, label.shape[0], 3, (k, 3 + feat_dim),
+                sched, label=label, keypoint=keypoint)
+
+        evaluate_per_rank(net, params, trainset_config, None, save_dir, task,
+                          point_feature_dim=feat_dim, ckpt_info=ckpt_info,
+                          latent_sampler=latent_sampler, seed=seed)
+
+    def hook(params, ema_list, n_iter):
+        state["num_ckpts"] += 1
+        if state["num_ckpts"] % train_config.get("eval_per_ckpt", 1) != 0:
+            return
+        save_dir = os.path.join(exp_root, "eval_result")
+        ckpt_info = f"_iter_{n_iter}"
+        run_eval(params, save_dir, ckpt_info)
+        for rate, ema in zip(ema_rates, ema_list):
+            run_eval(ema, os.path.join(save_dir, f"model_ema_{rate:.5f}"),
+                     ckpt_info)
+
+    return hook
+
+
 def make_sap_eval_hook(config: dict, net, dpsr, *,
                        data_dir: Optional[str] = None, seed: int = 0):
     """Eval hook for the SAP driver: DPSR-grid L2 on the val split — the
@@ -741,6 +795,9 @@ def train_latent_ddpm(config: dict, ae_params, *, data_dir: Optional[str] = None
     state = _init_state(variables["params"], optimizer, ema_rates)
     step = make_latent_train_step(net, ae, ae_params, sched, sdc, optimizer,
                                   ema_rates, trainset_config)
+    if eval_hook == "auto":
+        eval_hook = make_latent_eval_hook(config, net, ae, ae_params, sched,
+                                          data_dir=data_dir, seed=seed)
     return run_training(config, state, step, data_dir=data_dir, mesh=mesh,
                         max_iters=max_iters, seed=seed, eval_hook=eval_hook,
                         verbose=verbose)

@@ -99,3 +99,51 @@ def test_cli_encode_then_decode(setup):
     with np.load(os.path.join(dec_dir, "decoded_from_keypoints.npz")) as d:
         assert d["points"].shape == (4, 128, 6)
         assert np.isfinite(d["points"]).all()
+
+
+def test_cli_latent_generate_local_resampling(setup):
+    """--local_resampling_file re-generates only masked keypoints' latents
+    (`mesh_evaluation.py:113-118`, `diffusion.py:352-359`).  With an all-ones
+    mask the result must equal the plain conditional run (x0 replacement is a
+    no-op), proving the plumbing reaches denoising_step."""
+    tmp, root, cfg_path, _, ae_ckpt, lat_ckpt = setup
+    # external keypoints shared by both runs
+    kp = np.random.RandomState(0).randn(4, 8, 3).astype(np.float32) * 0.3
+    kp_file = str(tmp / "ext_kp.npz")
+    np.savez(kp_file, points=kp, label=np.zeros(4, np.int64),
+             category=np.array(["02691156"] * 4),
+             category_name=np.array(["airplane"] * 4))
+
+    resample = str(tmp / "resample.npz")
+    np.savez(resample, complete_x0=np.zeros((4, 8, 27), np.float32),
+             keypoint_mask=np.ones((4, 8), np.float32))
+
+    plain = str(tmp / "lr_plain")
+    main(["latent-generate", "-c", cfg_path, "--ckpt", lat_ckpt,
+          "--ema_idx", "0", "--ae_ckpt", ae_ckpt, "--batch_size", "4",
+          "--save_dir", plain, "--external_keypoint_file", kp_file,
+          "--no_visualize", "--seed", "11"])
+    masked = str(tmp / "lr_masked")
+    main(["latent-generate", "-c", cfg_path, "--ckpt", lat_ckpt,
+          "--ema_idx", "0", "--ae_ckpt", ae_ckpt, "--batch_size", "4",
+          "--save_dir", masked, "--external_keypoint_file", kp_file,
+          "--local_resampling_file", resample,
+          "--no_visualize", "--seed", "11"])
+    with np.load(glob.glob(os.path.join(plain, "*.npz"))[0]) as d1, \
+            np.load(glob.glob(os.path.join(masked, "*.npz"))[0]) as d2:
+        np.testing.assert_allclose(d1["points"], d2["points"], atol=1e-5)
+
+    # mask all-zeros: every latent pinned to complete_x0's posterior path ->
+    # output differs from the plain run
+    resample0 = str(tmp / "resample0.npz")
+    np.savez(resample0, complete_x0=np.full((4, 8, 27), 0.5, np.float32),
+             keypoint_mask=np.zeros((4, 8), np.float32))
+    frozen = str(tmp / "lr_frozen")
+    main(["latent-generate", "-c", cfg_path, "--ckpt", lat_ckpt,
+          "--ema_idx", "0", "--ae_ckpt", ae_ckpt, "--batch_size", "4",
+          "--save_dir", frozen, "--external_keypoint_file", kp_file,
+          "--local_resampling_file", resample0,
+          "--no_visualize", "--seed", "11"])
+    with np.load(glob.glob(os.path.join(plain, "*.npz"))[0]) as d1, \
+            np.load(glob.glob(os.path.join(frozen, "*.npz"))[0]) as d3:
+        assert not np.allclose(d1["points"], d3["points"], atol=1e-5)

@@ -60,3 +60,42 @@ def test_ae_eval_hook(synth_root, tmp_path):
         assert os.path.isfile(hist), sub
     # keypoint_noise_magnitude > 0 in the preset -> noise-free variant too
     assert os.path.isdir(os.path.join(eval_dir, "valset_eval_keypoint_noise_0"))
+
+
+def test_latent_eval_hook(synth_root, tmp_path):
+    """Latent-DDPM checkpoint-time auto eval (`train_latent_ddpm.py:283-297`):
+    per checkpoint, sample latents conditioned on val keypoints, decode through
+    the frozen AE, write the generated npz for model + every EMA."""
+    import jax
+    import jax.numpy as jnp
+    from test_latent_pipeline import _tiny_latent_cfg
+    from slide_tpu.train import train_latent_ddpm, build_autoencoder
+
+    cfg = _tiny_latent_cfg()
+    cfg["standard_diffusion_config"]["num_diffusion_timesteps"] = 5
+    cfg["shapenet_psr_dataset_config"].update(data_dir=synth_root,
+                                              num_samples_tested=8,
+                                              eval_batch_size=8)
+    cfg["train_config"].update(root_directory=str(tmp_path / "lat_exp"),
+                               epochs_per_ckpt=2, eval_per_ckpt=1,
+                               ema_rate=[0.999])
+
+    ae = build_autoencoder(cfg["autoencoder_config"]["pointnet_config"])
+    ae_vars = ae.init(
+        {"params": jax.random.key(0), "gaussian": jax.random.key(1),
+         "fps": jax.random.key(2)},
+        jnp.zeros((2, 128, 6)), jnp.zeros((2, 8, 3)),
+        label=jnp.zeros((2,), jnp.int32))
+    train_latent_ddpm(cfg, ae_vars["params"], max_iters=2, seed=0,
+                      verbose=False, eval_hook="auto")
+
+    exp = glob.glob(os.path.join(str(tmp_path / "lat_exp"), "T5_*"))[0]
+    eval_dir = os.path.join(exp, "eval_result")
+    main_npz = glob.glob(os.path.join(eval_dir, "*.npz"))
+    assert main_npz, os.listdir(eval_dir)
+    with np.load(main_npz[0]) as d:
+        assert d["points"].shape == (8, 128, 6)   # decoded clouds + normals
+        assert d["keypoint"].shape == (8, 8, 3)
+        assert np.isfinite(d["points"]).all()
+    ema_dir = os.path.join(eval_dir, "model_ema_0.99900")
+    assert glob.glob(os.path.join(ema_dir, "*.npz"))

@@ -136,3 +136,38 @@ def test_x0_denoise_local_resampling():
     # complete_x0 — just check masked/unmasked differ and shapes hold
     assert out.shape == (2, 8, 7)
     assert not np.allclose(np.asarray(out[:, :4, 3:]), np.asarray(out[:, 4:, 3:]))
+
+
+def test_diffuse_t_steps_statistics():
+    """One-shot q(x_t|x0) jump (`diffusion.py:274-279`): coefficients follow
+    sqrt(alpha_bar_t) x0 + sqrt(1-alpha_bar_t) z."""
+    from slide_tpu.diffusion import diffuse_t_steps
+    sched = X0Schedule.from_config(BASE_CFG)
+    x0 = jnp.full((4, 512, 3), 2.0)
+    for t in (0, 50, 99):
+        xt = diffuse_t_steps(jax.random.key(t), x0, t, sched)
+        abar = float(sched.alphas_cumprod[t])
+        assert xt.shape == x0.shape
+        np.testing.assert_allclose(float(jnp.mean(xt)), 2.0 * np.sqrt(abar),
+                                   atol=0.02)
+        np.testing.assert_allclose(float(jnp.std(xt)), np.sqrt(1 - abar) + 1e-9,
+                                   atol=0.03)
+
+
+def test_diffuse_stepwise_matches_one_shot_in_distribution():
+    """Step-by-step forward diffusion (`diffusion.py:250-272`) accumulates the
+    same marginal as the one-shot jump: after n steps from x_0,
+    Var = 1 - alpha_bar_{n-1} (and mean sqrt(alpha_bar_{n-1}) x0)."""
+    from slide_tpu.diffusion import diffuse
+    sched = X0Schedule.from_config(BASE_CFG)
+    x0 = jnp.full((8, 1024, 3), 1.5)
+    n = 60
+    xt = diffuse(jax.random.key(0), x0, sched, curr_step=0, n_steps=n)
+    abar = float(sched.alphas_cumprod[n - 1])
+    np.testing.assert_allclose(float(jnp.mean(xt)), 1.5 * np.sqrt(abar), atol=0.02)
+    np.testing.assert_allclose(float(jnp.std(xt)), np.sqrt(1 - abar), atol=0.02)
+    # full chain defaults: runs to T and stays finite
+    xT = diffuse(jax.random.key(1), x0, sched)
+    assert np.isfinite(np.asarray(xT)).all()
+    with pytest.raises(ValueError):
+        diffuse(jax.random.key(2), x0, sched, curr_step=sched.T)
