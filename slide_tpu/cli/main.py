@@ -331,6 +331,39 @@ def cmd_evaluate(args):
             json.dump(report, f, indent=2)
 
 
+def read_eval_result(file: str, loss: str = "dpsr_grid_L2_loss") -> dict:
+    """Eval-history entry at the lowest value of `loss` — reference
+    `data_utils/read_pickle.py` (argmin over `dpsr_grid_L2_loss`, then every
+    key at that index)."""
+    with open(file, "rb") as f:
+        data = pickle.load(f)
+    if loss not in data:
+        raise SystemExit(f"key {loss!r} not in {sorted(data.keys())}")
+    y = np.asarray(data[loss], dtype=np.float64)
+    idx = int(np.argmin(y))
+    print(f"The lowest {loss} is at index {idx}")
+    report = {}
+    for key, vals in data.items():
+        try:
+            report[key] = vals[idx]
+        except (TypeError, IndexError, KeyError):
+            continue
+        print(key, report[key])
+    return report
+
+
+def cmd_read_eval(args):
+    read_eval_result(args.file, args.loss)
+
+
+def cmd_correct_labels(args):
+    """Remap npz labels from folder-listing to sorted-category order —
+    reference `visualization_tools/correct_labels.py`."""
+    from slide_tpu.data.tools import remap_labels_to_sorted
+    out = remap_labels_to_sorted(args.npz, args.dataset_folder, args.out)
+    print(f"remapped labels saved to {out}")
+
+
 def cmd_gather(args):
     from slide_tpu.eval import gather_generated_results
     out = gather_generated_results(args.save_dir, args.world_size,
@@ -422,6 +455,18 @@ def main(argv=None):
     sp.add_argument("--world_size", type=int, required=True)
     sp.add_argument("--num_points", type=int, default=2048)
     sp.set_defaults(fn=cmd_gather)
+
+    sp = sub.add_parser("read-eval")
+    sp.add_argument("--file", required=True,
+                    help="eval-history pickle (e.g. *_eval_result.pkl)")
+    sp.add_argument("--loss", default="dpsr_grid_L2_loss")
+    sp.set_defaults(fn=cmd_read_eval)
+
+    sp = sub.add_parser("correct-labels")
+    sp.add_argument("--npz", required=True)
+    sp.add_argument("--dataset_folder", required=True)
+    sp.add_argument("--out", default=None)
+    sp.set_defaults(fn=cmd_correct_labels)
 
     sp = sub.add_parser("evaluate")
     sp.add_argument("--gen", required=True)

@@ -1,12 +1,50 @@
 """Dataset helper tools — reference `shapenet_psr_dataloader/
-{save_reference_data.py, keep_read_data.py, count_number_of_samples.py}`."""
+{save_reference_data.py, keep_read_data.py, count_number_of_samples.py}`,
+plus the misc data-process utilities (`data_utils/data_process.py`,
+`visualization_tools/correct_labels.py`)."""
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional, Sequence
 
 import numpy as np
+
+
+def get_bounding_box(points) -> dict:
+    """Axis-aligned bounding box stats of (B, N, 3) or (N, 3) points —
+    reference `data_utils/data_process.py:8-23`.  Returns dict with
+    max/min/center/length/centroid (reduced over the point axis)."""
+    pts = np.asarray(points)
+    if pts.ndim == 3:
+        axis = 1
+    elif pts.ndim == 2:
+        axis = 0
+    else:
+        raise ValueError(f"points must be (B, N, C) or (N, C), got {pts.shape}")
+    minn = pts.min(axis=axis)
+    maxx = pts.max(axis=axis)
+    return {"max": maxx, "min": minn, "center": (maxx + minn) / 2,
+            "length": maxx - minn, "centroid": pts.mean(axis=axis)}
+
+
+def remap_labels_to_sorted(npz_file: str, dataset_folder: str,
+                           out_file: Optional[str] = None) -> str:
+    """Remap generated-npz labels from the dataset folder's os.listdir order
+    to sorted-category order — reference
+    `visualization_tools/correct_labels.py` (with its save bug fixed: the
+    reference writes the OLD label back; we write the remapped one)."""
+    categories = [c for c in os.listdir(dataset_folder)
+                  if os.path.isdir(os.path.join(dataset_folder, c))]
+    order = {c: i for i, c in enumerate(sorted(categories))}
+    with np.load(npz_file) as d:
+        data = {k: d[k] for k in d.files}
+    data["label"] = np.array([order[categories[int(l)]]
+                              for l in data["label"]])
+    out = out_file or os.path.split(npz_file)[1]
+    np.savez(out, **data)
+    return out
 
 from slide_tpu.data.loader import BatchLoader
 from slide_tpu.data.shapenet_psr import ShapesPSRDataset, load_metadata
