@@ -9,11 +9,15 @@ without the classic 256-entry triangle table.  Output: vertices on grid edges
 (deduplicated), faces, and per-vertex normals from the NEGATED field gradient
 (matching the reference's `-normals` convention, `utils.py:285`).
 
-Runs vectorized in numpy; it is host-side post-processing, outside the jitted
-hot path (SURVEY.md §7.3 item 6).
+Two implementations with identical semantics: a native C++ single-pass one
+(slide_tpu/native/marching.cpp, compiled on first use, ~20-100x the numpy
+path — marching dominated the end-to-end pipeline 20:1 before it) and the
+vectorized numpy fallback below.  `SLIDE_TPU_NATIVE=0` forces numpy.
 """
 
 from __future__ import annotations
+
+import ctypes
 
 import numpy as np
 
@@ -50,13 +54,68 @@ _CASES: dict[int, list[tuple[int, int, int]]] = {
 }
 
 
+_NATIVE_READY = False
+
+
+def _native_lib():
+    global _NATIVE_READY
+    from slide_tpu.native import load_library
+    lib = load_library("marching")
+    if lib is not None and not _NATIVE_READY:
+        lib.mt_run.restype = ctypes.c_void_p
+        lib.mt_run.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+                               ctypes.c_int, ctypes.c_int, ctypes.c_float]
+        lib.mt_num_verts.restype = ctypes.c_int64
+        lib.mt_num_verts.argtypes = [ctypes.c_void_p]
+        lib.mt_num_faces.restype = ctypes.c_int64
+        lib.mt_num_faces.argtypes = [ctypes.c_void_p]
+        lib.mt_copy.restype = None
+        lib.mt_copy.argtypes = [ctypes.c_void_p,
+                                ctypes.POINTER(ctypes.c_float),
+                                ctypes.POINTER(ctypes.c_int64),
+                                ctypes.POINTER(ctypes.c_float)]
+        lib.mt_free.restype = None
+        lib.mt_free.argtypes = [ctypes.c_void_p]
+        _NATIVE_READY = True
+    return lib
+
+
+def _marching_tetrahedra_native(lib, vol: np.ndarray, level: float):
+    vol = np.ascontiguousarray(vol, np.float32)
+    r0, r1, r2 = vol.shape
+    h = lib.mt_run(vol.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                   r0, r1, r2, ctypes.c_float(level))
+    if not h:
+        raise ValueError("level surface is empty")
+    try:
+        nv, nf = lib.mt_num_verts(h), lib.mt_num_faces(h)
+        verts = np.empty((nv, 3), np.float32)
+        faces = np.empty((nf, 3), np.int64)
+        normals = np.empty((nv, 3), np.float32)
+        lib.mt_copy(h, verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    normals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    finally:
+        lib.mt_free(h)
+    return verts, faces, normals
+
+
 def marching_tetrahedra(vol: np.ndarray, level: float = 0.0):
     """Extract the `level` iso-surface of a (r0, r1, r2) scalar field.
 
     Returns (verts (V, 3) in grid-index coordinates, faces (F, 3) int,
     normals (V, 3) unit, = -grad field).  Raises ValueError if the surface is
-    empty (mirroring skimage's behavior).
+    empty (mirroring skimage's behavior).  Uses the native C++ pass when
+    available; vertex/face ORDER differs between backends (content agrees).
     """
+    lib = _native_lib()
+    if lib is not None:
+        return _marching_tetrahedra_native(lib, vol, level)
+    return marching_tetrahedra_numpy(vol, level)
+
+
+def marching_tetrahedra_numpy(vol: np.ndarray, level: float = 0.0):
+    """Pure-numpy reference implementation (see module docstring)."""
     vol = np.asarray(vol, np.float32)
     r0, r1, r2 = vol.shape
     # prefilter: only cubes whose corners straddle the level contribute
