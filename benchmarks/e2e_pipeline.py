@@ -131,9 +131,9 @@ def build_stages(batch, t_steps=1000, fastdpm=0, ckpts=None, ema_idx=-1,
                                      kp_vars["params"], 16)
         lat_fused = make_fused_net_fn(lat_cfg["pointnet_config"],
                                       lat_vars["params"], 16)
-        if kp_fused is not None and b % kp_fused.block_b != 0:
+        if kp_fused is not None and not kp_fused.batch_ok(b):
             kp_fused = None
-        if lat_fused is not None and b % lat_fused.block_b != 0:
+        if lat_fused is not None and not lat_fused.batch_ok(b):
             lat_fused = None
 
     def kp_net_fn(x, ts):

@@ -48,23 +48,33 @@ def _cpu_init(fn, *args, **kwargs):
 
 
 def _time_steps(step, state, batch, n_steps=20, warmup=True):
+    """Steps/s measured the way run_training dispatches: K steps per jitted
+    lax.scan call (steps_per_dispatch), so per-call host/tunnel latency is
+    amortized exactly as in production.  `step` is the UNJITTED train step."""
     key = jax.random.key(7)
-    if warmup:
-        state, loss = step(state, batch, key)
-        jax.block_until_ready(loss)
+
+    def many(state, batch, idx):
+        def body(s, i):
+            return step(s, batch, jax.random.fold_in(key, i))
+        return jax.lax.scan(body, state, idx)
+
+    jmany = jax.jit(many, donate_argnums=0)
+    idx = jnp.arange(n_steps, dtype=jnp.int32)
+    state, loss = jmany(state, batch, idx)    # compile + warmup
+    jax.block_until_ready(loss)
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, loss = step(state, batch, jax.random.fold_in(key, i))
+    state, loss = jmany(state, batch, idx)
     jax.block_until_ready(loss)
     dt = (time.perf_counter() - t0) / n_steps
-    return dt, float(loss)
+    return dt, float(np.asarray(loss)[-1])
 
 
-def bench_kp(n_steps=20):
+def bench_kp(n_steps=20, fused=False):
     from slide_tpu.configs import keypoint_ddpm_config
     from slide_tpu.diffusion import calc_diffusion_hyperparams
     from slide_tpu.models import ConditionalPointNet2
-    from slide_tpu.train.driver import TrainState, make_train_step
+    from slide_tpu.train.driver import (TrainState, make_train_step,
+                                        maybe_fused_train_apply)
     from slide_tpu.train.ema import ema_init
 
     b = 32
@@ -81,24 +91,30 @@ def bench_kp(n_steps=20):
     state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
                        opt_state=_cpu_init(optimizer.init, variables["params"]),
                        ema=ema_init(variables["params"], rates))
-    step = jax.jit(make_train_step(net, sched, optimizer, rates,
-                                   "keypoint_generation", ts_cfg),
-                   donate_argnums=0)
+    fused_apply = maybe_fused_train_apply(
+        cfg["pointnet_config"], ts_cfg["num_keypoints"], b, None) \
+        if fused else None
+    if fused and fused_apply is None:
+        return {"workload": "kp_ddpm_train_b32_fused", "skipped": True}
+    step = make_train_step(net, sched, optimizer, rates,
+                           "keypoint_generation", ts_cfg,
+                           fused_apply=fused_apply)
     npts = ts_cfg["npoints"]
     batch = {"points": jax.random.normal(jax.random.key(1), (b, npts, 3)),
              "normals": jax.random.normal(jax.random.key(2), (b, npts, 3)),
              "label": jnp.zeros((b,), jnp.int32)}
     dt, loss = _time_steps(step, state, batch, n_steps)
-    return {"workload": "kp_ddpm_train_b32", "sec_per_step": dt,
-            "steps_per_sec": 1 / dt, "loss": loss}
+    return {"workload": "kp_ddpm_train_b32" + ("_fused" if fused else ""),
+            "sec_per_step": dt, "steps_per_sec": 1 / dt, "loss": loss}
 
 
-def bench_lat(n_steps=20):
+def bench_lat(n_steps=20, fused=False):
     from slide_tpu.configs import latent_ddpm_config, autoencoder_config
     from slide_tpu.diffusion.x0 import X0Schedule
     from slide_tpu.models import ConditionalPointNet2
     from slide_tpu.train import build_autoencoder
-    from slide_tpu.train.driver import TrainState, make_latent_train_step
+    from slide_tpu.train.driver import (TrainState, make_latent_train_step,
+                                        maybe_fused_train_apply)
     from slide_tpu.train.ema import ema_init
 
     b = 32
@@ -120,16 +136,21 @@ def bench_lat(n_steps=20):
     state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
                        opt_state=_cpu_init(optimizer.init, variables["params"]),
                        ema=ema_init(variables["params"], rates))
-    step = jax.jit(make_latent_train_step(
+    fused_apply = maybe_fused_train_apply(
+        cfg["pointnet_config"], ts_cfg["num_keypoints"], b, None) \
+        if fused else None
+    if fused and fused_apply is None:
+        return {"workload": "latent_ddpm_train_b32_fused", "skipped": True}
+    step = make_latent_train_step(
         net, ae, ae_vars["params"], sched, cfg["standard_diffusion_config"],
-        optimizer, rates, ts_cfg), donate_argnums=0)
+        optimizer, rates, ts_cfg, fused_apply=fused_apply)
     npts = ts_cfg["npoints"]
     batch = {"points": jax.random.normal(jax.random.key(1), (b, npts, 3)),
              "normals": jax.random.normal(jax.random.key(2), (b, npts, 3)),
              "label": jnp.zeros((b,), jnp.int32)}
     dt, loss = _time_steps(step, state, batch, n_steps)
-    return {"workload": "latent_ddpm_train_b32", "sec_per_step": dt,
-            "steps_per_sec": 1 / dt, "loss": loss}
+    return {"workload": "latent_ddpm_train_b32" + ("_fused" if fused else ""),
+            "sec_per_step": dt, "steps_per_sec": 1 / dt, "loss": loss}
 
 
 def bench_ae(n_steps=10):
@@ -151,8 +172,7 @@ def bench_ae(n_steps=10):
     state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
                        opt_state=_cpu_init(optimizer.init, variables["params"]),
                        ema=ema_init(variables["params"], rates))
-    step = jax.jit(make_ae_train_step(ae, optimizer, rates, ts_cfg),
-                   donate_argnums=0)
+    step = make_ae_train_step(ae, optimizer, rates, ts_cfg)
     npts = ts_cfg["npoints"]
     batch = {"points": jax.random.normal(jax.random.key(1), (b, npts, 3)),
              "normals": jax.random.normal(jax.random.key(2), (b, npts, 3)),
@@ -182,9 +202,8 @@ def bench_sap(n_steps=10):
     state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
                        opt_state=_cpu_init(optimizer.init, variables["params"]),
                        ema=ema_init(variables["params"], rates))
-    step = jax.jit(make_upsampler_train_step(
-        net, dpsr, optimizer, rates, ts_cfg, dpsr_cfg, cfg["pointnet_config"]),
-        donate_argnums=0)
+    step = make_upsampler_train_step(
+        net, dpsr, optimizer, rates, ts_cfg, dpsr_cfg, cfg["pointnet_config"])
     npts = ts_cfg["npoints"]
     batch = {"points": jax.random.normal(jax.random.key(1), (b, npts, 3)),
              "normals": jax.random.normal(jax.random.key(2), (b, npts, 3)),
@@ -195,7 +214,9 @@ def bench_sap(n_steps=10):
             "steps_per_sec": 1 / dt, "loss": loss}
 
 
-BENCHES = {"kp": bench_kp, "lat": bench_lat, "ae": bench_ae, "sap": bench_sap}
+BENCHES = {"kp": bench_kp, "lat": bench_lat, "ae": bench_ae, "sap": bench_sap,
+           "kp_fused": lambda: bench_kp(fused=True),
+           "lat_fused": lambda: bench_lat(fused=True)}
 
 
 def main():

@@ -152,14 +152,14 @@ def cmd_latent_generate(args):
     feat_dim = config["pointnet_config"]["in_fea_dim"]
 
     fused = None
-    if os.environ.get("SLIDE_TPU_FUSED") == "1" \
+    if os.environ.get("SLIDE_TPU_FUSED", "1") != "0" \
             and jax.default_backend() not in ("cpu",):
         from slide_tpu.models.fused_denoiser import make_fused_net_fn
         fused = make_fused_net_fn(config["pointnet_config"], params, k)
 
     def latent_sampler(key, label, keypoint, **resample_kw):
         def net_fn(x, ts):
-            if fused is not None and x.shape[0] % fused.block_b == 0:
+            if fused is not None and fused.batch_ok(x.shape[0]):
                 return fused(x, ts, label)
             return net.apply({"params": params}, x, ts=ts, label=label)
 

@@ -116,16 +116,20 @@ def evaluate_per_rank(net, params, trainset_config: dict, sched, save_dir: str,
         return hp.get("include_local_feature", True) or \
             hp.get("include_global_feature", False)
 
-    # SLIDE_TPU_FUSED=1 swaps the unconditional denoiser for the fused
-    # single-kernel path (models/fused_denoiser.py, ~1.8x) — single-device
-    # only (pallas_call is not auto-partitionable across a mesh)
+    # The fused single-kernel denoiser (models/fused_denoiser.py, ~1.8x) is
+    # the default unconditional path on TPU backends; under a mesh it runs
+    # per-shard via shard_map.  SLIDE_TPU_FUSED=0 disables,
+    # =interpret forces the kernel in interpret mode (CPU tests).
     fused = None
-    if os.environ.get("SLIDE_TPU_FUSED") == "1" and mesh is None \
-            and jax.default_backend() not in ("cpu",):
+    fused_env = os.environ.get("SLIDE_TPU_FUSED", "1")
+    if fused_env != "0" and (jax.default_backend() not in ("cpu",)
+                             or fused_env == "interpret"):
         from slide_tpu.models import ConditionalPointNet2
         from slide_tpu.models.fused_denoiser import make_fused_net_fn
         if isinstance(net, ConditionalPointNet2):
-            fused = make_fused_net_fn(net.config, params, num_points)
+            fused = make_fused_net_fn(net.config, params, num_points,
+                                      interpret=fused_env == "interpret",
+                                      mesh=mesh)
 
     def _sample_impl(key, label, condition):
         # encode the condition towers ONCE, outside the T-step scan
@@ -139,7 +143,7 @@ def evaluate_per_rank(net, params, trainset_config: dict, sched, save_dir: str,
         def net_fn(x, ts):
             # shapes are static under jit: ragged final batches fall back
             if fused is not None and condition is None \
-                    and x.shape[0] % fused.block_b == 0:
+                    and fused.batch_ok(x.shape[0]):
                 return fused(x, ts, label)
             if cache is not None:
                 return net.apply({"params": params}, x, ts=ts, label=label,

@@ -237,6 +237,24 @@ def _shared_mlp(x, w, dims, *, bt, truncate_last=False):
     return x
 
 
+def _add_per_batch(h, v, bt):
+    """h: (B*M, K, C) += v[batch of row]: (B, C), batch = row // M.
+
+    The obvious `h.reshape(bt, -1, C) + v[:, None, :]` breaks the BACKWARD
+    Pallas kernel: the transpose emits a reshape-composed reduce_sum that
+    trips a Mosaic invalid-relayout bug ("replicated in destination but not
+    in source").  Expanding v with a one-hot row->batch matmul keeps both
+    directions as dots."""
+    r = h.shape[0]
+    m = r // bt
+    row_b = jax.lax.broadcasted_iota(jnp.int32, (r, bt), 0) // m
+    col_b = jax.lax.broadcasted_iota(jnp.int32, (r, bt), 1)
+    oh = (row_b == col_b).astype(jnp.float32)
+    t = jnp.dot(oh, v, precision=_PREC_EXACT,
+                preferred_element_type=jnp.float32)      # (B*M, C)
+    return h + t[:, None, :]
+
+
 def _injection_mlp(x, w, spec, *, bt, t4=None, cls=None):
     """InjectionMLP (nn/layers.py): first_mlp (+t), second_mlp (+cond),
     rest_mlp, residual.  x: (B*M, K, C)."""
@@ -244,11 +262,11 @@ def _injection_mlp(x, w, spec, *, bt, t4=None, cls=None):
     h = _shared_mlp(x, w["first_mlp"], spec[0:2], bt=bt)
     if t4 is not None:
         t1 = _dense(t4, w["fc_t"])                       # (B, s1)
-        h = (h.reshape(bt, -1, spec[1]) + t1[:, None, :]).reshape(h.shape)
+        h = _add_per_batch(h, t1, bt)
     h = _shared_mlp(h, w["second_mlp"], spec[1:3], bt=bt)
     if cls is not None:
         c1 = _dense(cls, w["fc_condition"])
-        h = (h.reshape(bt, -1, spec[2]) + c1[:, None, :]).reshape(h.shape)
+        h = _add_per_batch(h, c1, bt)
     if len(spec) > 3:
         h = _shared_mlp(h, w["rest_mlp"], spec[2:], bt=bt)
     if spec[0] == spec[-1]:
@@ -260,13 +278,65 @@ def _injection_mlp(x, w, spec, *, bt, t4=None, cls=None):
     return h
 
 
+def _expand_pool_mats(r: int, k: int):
+    """Constant one-hot (r*k, r) slot->row matrix E: `E @ x` expands (r, C)
+    to per-slot rows, `E.T-contraction` pools slots back to rows.
+
+    The slot axis lives FLATTENED in the row dimension so every cross-slot
+    movement is a dot — mid-axis broadcasts/reductions on (r, k, C) views
+    trip a Mosaic invalid-relayout bug in the TRANSPOSED (backward) kernel,
+    and dots transpose to dots."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (r * k, r), 0) // k
+    col = jax.lax.broadcasted_iota(jnp.int32, (r * k, r), 1)
+    return jax.lax.stop_gradient((row == col).astype(jnp.float32))
+
+
+def _pool_rows(e_mat, x2):
+    """Sum slots per row: (r*k, C) -> (r, C) via E^T-contraction."""
+    return jax.lax.dot_general(e_mat, x2, (((0,), (0,)), ((), ())),
+                               precision=_PREC_EXACT,
+                               preferred_element_type=jnp.float32)
+
+
+def _expand_rows(e_mat, x):
+    """Repeat each row k times: (r, C) -> (r*k, C)."""
+    return jnp.dot(e_mat, x, precision=_PREC_EXACT,
+                   preferred_element_type=jnp.float32)
+
+
+def _concat_channels_via_dots(parts):
+    """Channel concat of (..., c_i) tensors as banded placement matmuls —
+    `sum_i part_i @ P_i` with P_i a constant 0/1 (c_i, total) band.  The
+    plain concat's TRANSPOSE slices 3-wide channel strips, which (feeding the
+    FP mlp2 chain) trips the same Mosaic relayout bug as mid-axis reductions;
+    dots transpose to dots."""
+    total = sum(p.shape[-1] for p in parts)
+    out = None
+    off = 0
+    for p in parts:
+        c = p.shape[-1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (c, total), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (c, total), 1)
+        band = jax.lax.stop_gradient((col == row + off).astype(jnp.float32))
+        contrib = jnp.dot(p.reshape(-1, c), band, precision=_PREC_EXACT,
+                          preferred_element_type=jnp.float32)
+        out = contrib if out is None else out + contrib
+        off += c
+    return out.reshape(parts[0].shape[:-1] + (total,))
+
+
 def _attention_pool(feat, grouped, value_in, w, *, bt, c1, c2, c_out):
     """AttentionPool (nn/attention.py) with full counts ('all' semantics —
     every slot valid, as guaranteed by 'nn' neighborhoods here).
-    feat: (B, M, Cq); grouped: (B*M, K, Cg); value_in: (B*M, K, Cv)."""
+    feat: (B, M, Cq); grouped: (B*M, K, Cg); value_in: (B*M, K, Cv).
+
+    All neighbor-slot broadcasts/reductions go through the one-hot expand/
+    pool matmuls (`_expand_pool_mats`) so the custom-VJP backward kernel
+    lowers (see the helper docstring)."""
     r, k, _ = grouped.shape
+    e_mat = _expand_pool_mats(r, k)
     f1 = _dense(feat.reshape(-1, feat.shape[-1]), w["feat_conv"])  # (B*M, c1)
-    f1 = jnp.broadcast_to(f1[:, None, :], (r, k, c1))
+    f1 = _expand_rows(e_mat, f1).reshape(r, k, c1)
     g1 = _dense(grouped.reshape(r * k, -1),
                 w["grouped_feat_conv"]).reshape(r, k, c2)
     total = jnp.concatenate([f1, g1], axis=-1)
@@ -282,16 +352,20 @@ def _attention_pool(feat, grouped, value_in, w, *, bt, c1, c2, c_out):
     h = _tail_group_norm(h.reshape(bt, -1, inter), g["scale"], g["bias"],
                          min(32, inter)).reshape(r, k, inter)
     scores = _dense(h.reshape(r * k, -1), w["w_conv_2"]).reshape(r, k, c_out)
-    scores = scores - jnp.max(scores, axis=1, keepdims=True)
-    e = jnp.exp(scores)
-    weight = e / jnp.sum(e, axis=1, keepdims=True)
+    # softmax over the slot axis; the max shift is stability-only (constant
+    # wrt gradients), the sum/broadcast ride the pool/expand dots
+    scores = scores - jax.lax.stop_gradient(
+        jnp.max(scores, axis=1, keepdims=True))
+    e = jnp.exp(scores).reshape(r * k, c_out)
+    se = _pool_rows(e_mat, e)                            # (r, c_out)
+    weight = e * _expand_rows(e_mat, 1.0 / se)           # (r*k, c_out)
 
-    v = _dense(value_in.reshape(r * k, -1), w["feat_out_conv"]).reshape(r, k, c_out)
+    v = _dense(value_in.reshape(r * k, -1), w["feat_out_conv"])
     g = w["feat_out_norm"]["group_norm"]
     v = _tail_group_norm(v.reshape(bt, -1, c_out), g["scale"], g["bias"],
-                         min(32, c_out)).reshape(r, k, c_out)
+                         min(32, c_out)).reshape(r * k, c_out)
     v = jax.nn.relu(v)
-    return jnp.sum(v * weight, axis=1)                   # (B*M, c_out)
+    return _pool_rows(e_mat, v * weight)                 # (B*M, c_out)
 
 
 def _pairwise_sqdist(x):
@@ -323,7 +397,9 @@ def _topk_onehot(d, k):
         hot = (iota == idx).astype(jnp.float32)
         sel.append(hot)
         taken = taken + hot
-    return jnp.stack(sel, axis=2)                        # (B, M, K, N)
+    # constant wrt inputs (comparisons only); stop_gradient prunes the dead
+    # cotangent dots the VJP would otherwise emit through the gather matmuls
+    return jax.lax.stop_gradient(jnp.stack(sel, axis=2))  # (B, M, K, N)
 
 
 def _gather(onehot2, src):
@@ -421,7 +497,7 @@ def _forward_tile(spec: dict, w: dict, pc, t4, cls):
                                  c1=s["c_in1"], c2=s["c_in2"],
                                  c_out=s["spec1"][-1])
         interp = interp.reshape(bt, n, s["spec1"][-1])
-        nf = jnp.concatenate([interp, skip, xyz], axis=-1)
+        nf = _concat_channels_via_dots([interp, skip, xyz])
         nf = nf.reshape(bt * n, 1, nf.shape[-1])
         out2 = _injection_mlp(nf, wfp["mlp2"], s["spec2"], bt=bt, t4=t4, cls=cls)
         l_feats[i] = out2.reshape(bt, n, s["spec2"][-1])
@@ -498,17 +574,202 @@ def fused_forward(spec: dict, weights: tuple, pointcloud, ts, label, *,
     if not use_pallas:
         return _forward_tile(spec, inner, pc, t4, cls)
     b = pc.shape[0]
+    # Mosaic accepts a batch tile that is a multiple of 8 (sublane) or equal
+    # to the whole batch; adapt so any reasonable eval batch runs fused.
     if b % block_b != 0:
-        raise ValueError(f"batch {b} not divisible by block_b {block_b}")
+        if b % 8 == 0:
+            block_b = 8
+        elif b <= 64:
+            block_b = b          # single tile — always lowerable, VMEM-safe
+        else:
+            raise ValueError(f"batch {b} not divisible by block_b {block_b}")
     return _pallas_forward(spec, inner, pc, t4, cls, block_b,
                            interpret=interpret)
 
 
+def _pallas_backward(spec, inner, pc, t4, cls, g, block_b, interpret=False):
+    """Backward pass as one Pallas kernel: each batch tile recomputes the
+    forward in VMEM (jax.vjp of `_forward_tile`, traced at lowering time) and
+    applies the cotangent; weight grads accumulate across the TPU grid's
+    SEQUENTIAL iterations into constant-index output blocks."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, din = pc.shape
+    leaves, treedef = jax.tree.flatten(inner)
+    nw = len(leaves)
+
+    def kernel(pc_ref, t4_ref, cls_ref, g_ref, *rest):
+        w_refs = rest[:nw]
+        dpc_ref, dt4_ref, dcls_ref = rest[nw:nw + 3]
+        dw_refs = rest[nw + 3:]
+        w = jax.tree.unflatten(treedef, [r[...] for r in w_refs])
+
+        def f(p, t, c, ww):
+            return _forward_tile(spec, ww, p, t, c)
+
+        _, vjp = jax.vjp(f, pc_ref[...], t4_ref[...], cls_ref[...], w)
+        dpc, dt4, dcls, dw = vjp(g_ref[...])
+        dpc_ref[...] = dpc
+        dt4_ref[...] = dt4
+        dcls_ref[...] = dcls
+        dleaves = jax.tree.flatten(dw)[0]
+        first = pl.program_id(0) == 0
+
+        @pl.when(first)
+        def _():
+            for r, dl in zip(dw_refs, dleaves):
+                r[...] = dl
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            for r, dl in zip(dw_refs, dleaves):
+                r[...] += dl
+
+    grid = (b // block_b,)
+    t4d, clsd = t4.shape[-1], cls.shape[-1]
+
+    def _const_spec(l):
+        return pl.BlockSpec(l.shape,
+                            functools.partial(lambda nd, i: (0,) * nd, l.ndim))
+
+    in_specs = [
+        pl.BlockSpec((block_b, n, din), lambda i: (i, 0, 0)),
+        pl.BlockSpec((block_b, t4d), lambda i: (i, 0)),
+        pl.BlockSpec((block_b, clsd), lambda i: (i, 0)),
+        pl.BlockSpec((block_b, n, spec["out_dim"]), lambda i: (i, 0, 0)),
+    ] + [_const_spec(l) for l in leaves]
+    out_specs = [
+        pl.BlockSpec((block_b, n, din), lambda i: (i, 0, 0)),
+        pl.BlockSpec((block_b, t4d), lambda i: (i, 0)),
+        pl.BlockSpec((block_b, clsd), lambda i: (i, 0)),
+    ] + [_const_spec(l) for l in leaves]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, n, din), jnp.float32),
+        jax.ShapeDtypeStruct((b, t4d), jnp.float32),
+        jax.ShapeDtypeStruct((b, clsd), jnp.float32),
+    ] + [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        interpret=interpret,
+    )(pc, t4, cls, g, *leaves)
+    dpc, dt4, dcls = outs[:3]
+    dinner = jax.tree.unflatten(treedef, outs[3:])
+    return dpc, dt4, dcls, dinner
+
+
+def make_fused_train_fn(config: Mapping[str, Any], n_points: int, *,
+                        block_b: int = 8, bwd_block_b: Optional[int] = None,
+                        use_pallas: Optional[bool] = None,
+                        interpret: bool = False, mesh=None,
+                        axis_name: str = "data"):
+    """DIFFERENTIABLE fused denoiser: `(params, x, ts, label) -> out` with a
+    custom VJP whose backward is a second Pallas kernel (recompute-based, all
+    activations VMEM-resident) — the training-path answer to the GroupNorm
+    HBM-traffic pathology the inference kernel fixed (CLAUDE.md perf notes).
+
+    `params` keeps the flax tree structure, so grads/optimizer/EMA/checkpoints
+    are untouched; `extract_weights` reshapes are traced and transposed by
+    autodiff.  With `mesh`, both kernels run under shard_map over `axis_name`
+    (weights replicated, batch sharded, weight grads psum-ed) — multi-chip
+    data-parallel training uses the fast kernels too.
+
+    Returns None when the config is outside the fused architecture scope.
+    """
+    if not supports_config(config):
+        return None
+    try:
+        spec = build_spec(config, n_points)
+    except ValueError:
+        return None
+    bwd_bb = bwd_block_b or block_b
+
+    def _resolve_pallas():
+        if use_pallas is None:
+            return jax.default_backend() not in ("cpu",) or interpret
+        return use_pallas
+
+    def _fwd_impl(pc, t4, cls, inner):
+        if not _resolve_pallas():
+            return _forward_tile(spec, inner, pc, t4, cls)
+        return _pallas_forward(spec, inner, pc, t4, cls, block_b,
+                               interpret=interpret)
+
+    def _bwd_impl(pc, t4, cls, inner, g):
+        if not _resolve_pallas():
+            def f(p, t, c, w):
+                return _forward_tile(spec, w, p, t, c)
+            _, vjp = jax.vjp(f, pc, t4, cls, inner)
+            return vjp(g)
+        return _pallas_backward(spec, inner, pc, t4, cls, g, bwd_bb,
+                                interpret=interpret)
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        _fwd_tile, _bwd_tile = _fwd_impl, _bwd_impl
+        db = P(axis_name)
+        rep = P()
+
+        def _fwd_impl(pc, t4, cls, inner):
+            return shard_map(_fwd_tile, mesh=mesh,
+                             in_specs=(db, db, db, rep), out_specs=db,
+                             check_rep=False)(pc, t4, cls, inner)
+
+        def _bwd_impl(pc, t4, cls, inner, g):
+            def body(pc, t4, cls, inner, g):
+                dpc, dt4, dcls, dinner = _bwd_tile(pc, t4, cls, inner, g)
+                dinner = jax.lax.psum(dinner, axis_name)
+                return dpc, dt4, dcls, dinner
+
+            return shard_map(body, mesh=mesh,
+                             in_specs=(db, db, db, rep, db),
+                             out_specs=(db, db, db, rep),
+                             check_rep=False)(pc, t4, cls, inner, g)
+
+    @jax.custom_vjp
+    def apply_core(pc, t4, cls, inner):
+        return _fwd_impl(pc, t4, cls, inner)
+
+    def fwd(pc, t4, cls, inner):
+        return _fwd_impl(pc, t4, cls, inner), (pc, t4, cls, inner)
+
+    def bwd(res, g):
+        return _bwd_impl(*res, g)
+
+    apply_core.defvjp(fwd, bwd)
+
+    def apply_fn(params, x, ts, label):
+        outer, inner = extract_weights(params)
+        pc = jnp.asarray(x, jnp.float32)
+        t4 = _t_embed(outer, ts, spec["t4"])
+        cls = jnp.take(outer["class_emb"]["embedding"], label, axis=0)
+        return apply_core(pc, t4, cls, inner)
+
+    apply_fn.block_b = block_b
+    return apply_fn
+
+
 def make_fused_net_fn(config: Mapping[str, Any], params, n_points: int, *,
                       block_b: int = 8, use_pallas: Optional[bool] = None,
-                      interpret: bool = False):
+                      interpret: bool = False, mesh=None,
+                      axis_name: str = "data"):
     """(x, ts, label) -> eps closure over extracted weights, or None if the
-    config isn't supported."""
+    config isn't supported.
+
+    With `mesh`, the kernel runs under shard_map over `axis_name` (weights
+    replicated, batch sharded) so multi-chip sharded generation
+    (eval/generation.py) uses the fast path too.  `net_fn.block_b` reports
+    the batch granularity the GLOBAL batch must divide by (the mesh size;
+    per-shard tile size adapts inside `fused_forward`)."""
     if not supports_config(config):
         return None
     try:
@@ -517,9 +778,36 @@ def make_fused_net_fn(config: Mapping[str, Any], params, n_points: int, *,
         return None
     weights = extract_weights(params)
 
-    def net_fn(x, ts, label):
-        return fused_forward(spec, weights, x, ts, label, block_b=block_b,
+    def _call(w, x, ts, label):
+        return fused_forward(spec, w, x, ts, label, block_b=block_b,
                              use_pallas=use_pallas, interpret=interpret)
 
-    net_fn.block_b = block_b
+    granularity = block_b
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        db, rep = P(axis_name), P()
+        _tile_call = _call
+
+        def _call(w, x, ts, label):
+            return shard_map(_tile_call, mesh=mesh,
+                             in_specs=(rep, db, db, db), out_specs=db,
+                             check_rep=False)(w, x, ts, label)
+
+        granularity = mesh.shape[axis_name]
+
+    def net_fn(x, ts, label):
+        return _call(weights, x, ts, label)
+
+    def batch_ok(b: int) -> bool:
+        """Can a global batch of `b` run fused? (even shards + a Mosaic-
+        lowerable tile — see fused_forward's adaptive block pick)."""
+        if b % granularity != 0:
+            return False
+        local = b // granularity
+        return local % block_b == 0 or local % 8 == 0 or local <= 64
+
+    net_fn.block_b = granularity
+    net_fn.batch_ok = batch_ok
     return net_fn

@@ -133,6 +133,13 @@ def run_training(config: dict, state: TrainState, train_step: Callable, *,
 
     train_step(state, device_batch, key) -> (state, scalar loss), already
     built for the task.  Returns (final state, [(iter, loss), ...]).
+
+    `train_config["steps_per_dispatch"]` (default 8) runs that many steps as
+    ONE jitted lax.scan over a stacked (K, B, ...) super-batch: host dispatch
+    / tunnel latency is paid once per K steps instead of per step, and XLA
+    overlaps the inter-step glue.  Chunks are clamped to checkpoint/eval
+    boundaries so the reference's cadence semantics (train.py:160-240) are
+    exact; K=1 restores the one-call-per-step loop.
     """
     train_config = config["train_config"]
     trainset_config = dict(config["shapenet_psr_dataset_config"])
@@ -167,7 +174,18 @@ def run_training(config: dict, state: TrainState, train_step: Callable, *,
                 print(f"resumed from iteration {ckpt_iter}", flush=True)
     state = jax.device_put(state, repl)
 
-    step_fn = jax.jit(train_step, in_shardings=(repl, data_sh, repl),
+    base_key = jax.random.key(seed + 1)
+    stacked_sh = NamedSharding(mesh, P(None, "data"))
+
+    def multi_step(state, batches, iter_idx):
+        # batches: (K, B, ...) stacked; iter_idx: (K,) global iteration ids
+        def body(s, xs):
+            b, i = xs
+            return train_step(s, b, jax.random.fold_in(base_key, i))
+
+        return jax.lax.scan(body, state, (batches, iter_idx))
+
+    step_fn = jax.jit(multi_step, in_shardings=(repl, stacked_sh, repl),
                       out_shardings=(repl, repl), donate_argnums=0)
 
     # under jax.distributed each process loads its rank's shard (the data
@@ -183,49 +201,86 @@ def run_training(config: dict, state: TrainState, train_step: Callable, *,
     iters_per_ckpt = max(1, int(loader_len * train_config["epochs_per_ckpt"]))
     iters_per_logging = train_config["iters_per_logging"]
 
-    base_key = jax.random.key(seed + 1)
+    local_dev = max(1, n_dev // world)
+    local_bs = trainset_config["batch_size"] // world
+    if local_bs % local_dev != 0:
+        raise ValueError(
+            f"per-process batch size {local_bs} is not divisible by the "
+            f"{local_dev} local mesh devices — nothing would ever train "
+            f"(pick batch_size as a multiple of {local_dev * world})")
+
+    spd = max(1, int(train_config.get("steps_per_dispatch", 8)))
     losses = []
     n_iter = ckpt_iter + 1
     t0 = time.time()
     log_t = time.time()
-    while n_iter < n_iters:
-        for batch in loader:
-            if n_iter >= n_iters:
-                break
-            # static sharding needs divisible batches; the per-rank dataset
-            # split is equal-sized (append_samples_to_last_rank), so every
-            # process takes the same branch here
-            if batch["label"].shape[0] % max(1, n_dev // world) != 0:
-                continue
-            db = _device_batch(batch, data_sh)
-            key = jax.device_put(jax.random.fold_in(base_key, n_iter), repl)
-            state, loss = step_fn(state, db, key)
-            if n_iter % iters_per_logging == 0:
-                loss_v = float(loss)
+    warned_partial = False
+    pending: list[dict] = []
+
+    def _dispatch(state):
+        nonlocal n_iter, log_t, warned_partial
+        k = len(pending)
+        stacked = {key_: np.stack([np.asarray(b[key_]) for b in pending])
+                   for key_ in pending[0]
+                   if key_ in ("points", "normals", "psr", "label")}
+        db = _device_batch(stacked, stacked_sh)
+        idx = jax.device_put(
+            jnp.arange(n_iter, n_iter + k, dtype=jnp.int32), repl)
+        pending.clear()
+        state, chunk_losses = step_fn(state, db, idx)
+        logged = [(n_iter + j) for j in range(k)
+                  if (n_iter + j) % iters_per_logging == 0]
+        if logged:
+            vals = np.asarray(chunk_losses)
+            for it in logged:
+                loss_v = float(vals[it - n_iter])
                 if not np.isfinite(loss_v):
                     raise FloatingPointError(
-                        f"non-finite training loss at iteration {n_iter}")
-                losses.append((n_iter, loss_v))
+                        f"non-finite training loss at iteration {it}")
+                losses.append((it, loss_v))
                 if verbose:
-                    print(f"iteration: {n_iter} \tloss: {loss_v:.6f} "
+                    print(f"iteration: {it} \tloss: {loss_v:.6f} "
                           f"\ttime: {time.time() - log_t:.2f}s", flush=True)
                 log_t = time.time()
-            if (n_iter + 1) % iters_per_ckpt == 0 and rank == 0:
-                # params/EMA are replicated; only process 0 writes (shared
-                # storage would otherwise be clobbered by every host)
-                save_checkpoint(output_directory, n_iter, state.params,
-                                state.opt_state,
-                                int(time.time() - t0) + time_offset,
-                                ema_state_list=list(state.ema) if ema_rates else None)
-                if eval_hook is not None:
-                    if world > 1:
-                        # hand hooks host copies: jitting a global (non-fully-
-                        # addressable) array from one process alone would hang
-                        eval_hook(jax.device_get(state.params),
-                                  jax.device_get(list(state.ema)), n_iter)
-                    else:
-                        eval_hook(state.params, list(state.ema), n_iter)
-            n_iter += 1
+        n_iter += k
+        if n_iter % iters_per_ckpt == 0 and rank == 0:
+            # params/EMA are replicated; only process 0 writes (shared
+            # storage would otherwise be clobbered by every host)
+            save_checkpoint(output_directory, n_iter - 1, state.params,
+                            state.opt_state,
+                            int(time.time() - t0) + time_offset,
+                            ema_state_list=list(state.ema) if ema_rates else None)
+            if eval_hook is not None:
+                if world > 1:
+                    # hand hooks host copies: jitting a global (non-fully-
+                    # addressable) array from one process alone would hang
+                    eval_hook(jax.device_get(state.params),
+                              jax.device_get(list(state.ema)), n_iter - 1)
+                else:
+                    eval_hook(state.params, list(state.ema), n_iter - 1)
+        return state
+
+    while n_iter < n_iters:
+        for batch in loader:
+            if n_iter + len(pending) >= n_iters:
+                break
+            if batch["label"].shape[0] != local_bs:
+                # ragged final batch (dataset not divisible): skip, loudly
+                if not warned_partial:
+                    print(f"warning: skipping partial batch of "
+                          f"{batch['label'].shape[0]} (batch_size {local_bs})",
+                          flush=True)
+                    warned_partial = True
+                continue
+            pending.append(batch)
+            # clamp the chunk to the next checkpoint / end-of-run boundary so
+            # save/eval cadence is identical to the per-step loop
+            boundary = min(iters_per_ckpt - n_iter % iters_per_ckpt,
+                           n_iters - n_iter)
+            if len(pending) >= min(spd, boundary):
+                state = _dispatch(state)
+        if pending and n_iter + len(pending) >= n_iters:
+            state = _dispatch(state)
     return state, losses
 
 
@@ -431,8 +486,38 @@ def _prepare_x(task: str, trainset_config: dict, points, normals, key):
     raise ValueError(f"task {task} not handled by this driver")
 
 
+def maybe_fused_train_apply(pointnet_config: dict, n_points: int,
+                            batch_size: int, mesh) -> Optional[Callable]:
+    """Differentiable fused-denoiser apply `(params, x, ts, label) -> out`
+    for the hot DDPM train steps, or None when unavailable.
+
+    Both directions run as single Pallas kernels under shard_map on `mesh`'s
+    'data' axis (models/fused_denoiser.make_fused_train_fn) — the training
+    answer to the GroupNorm HBM-traffic pathology.  Gating:
+    `SLIDE_TPU_FUSED_TRAIN=0` disables, `=interpret` forces the kernels in
+    interpret mode (CPU tests); otherwise TPU-like backends only."""
+    env = os.environ.get("SLIDE_TPU_FUSED_TRAIN", "1")
+    if env == "0":
+        return None
+    interpret = env == "interpret"
+    if not interpret and jax.default_backend() in ("cpu",):
+        return None
+    n_dev = mesh.devices.size if mesh is not None else 1
+    if batch_size % n_dev != 0:
+        return None
+    local_b = batch_size // n_dev
+    block_b = next((d for d in (8, 4, 2, 1) if local_b % d == 0 and
+                    d <= local_b), None)
+    if block_b is None:
+        return None
+    from slide_tpu.models.fused_denoiser import make_fused_train_fn
+    return make_fused_train_fn(pointnet_config, n_points, block_b=block_b,
+                               interpret=interpret, mesh=mesh)
+
+
 def make_train_step(net: ConditionalPointNet2, sched, optimizer, ema_rates,
-                    task: str, trainset_config: dict) -> Callable:
+                    task: str, trainset_config: dict,
+                    fused_apply: Optional[Callable] = None) -> Callable:
     def train_step(state: TrainState, batch: dict, key: jax.Array):
         k_prep, k_loss = jax.random.split(key)
         x, condition = _prepare_x(task, trainset_config, batch["points"],
@@ -441,6 +526,8 @@ def make_train_step(net: ConditionalPointNet2, sched, optimizer, ema_rates,
 
         def loss_fn(params):
             def net_fn(xt, ts):
+                if fused_apply is not None and condition is None:
+                    return fused_apply(params, xt, ts, label)
                 return net.apply({"params": params}, xt, condition=condition,
                                  ts=ts, label=label)
             return diffusion_training_loss(net_fn, k_loss, x, sched)
@@ -457,7 +544,8 @@ def make_train_step(net: ConditionalPointNet2, sched, optimizer, ema_rates,
 
 def make_x0_train_step(net, x0_sched: X0Schedule, standard_diffusion_config: dict,
                        optimizer, ema_rates, task: str,
-                       trainset_config: dict) -> Callable:
+                       trainset_config: dict,
+                       fused_apply: Optional[Callable] = None) -> Callable:
     """x0-parameterized (chamfer-loss) train step — the reference routes
     training through `Diffusion.train_loss` whenever the config carries
     `standard_diffusion_config` (`train.py:209-215, 355-360`)."""
@@ -474,6 +562,8 @@ def make_x0_train_step(net, x0_sched: X0Schedule, standard_diffusion_config: dic
 
         def loss_fn(params):
             def net_fn(xt, ts):
+                if fused_apply is not None and condition is None:
+                    return fused_apply(params, xt, ts, label)
                 return net.apply({"params": params}, xt, condition=condition,
                                  ts=ts, label=label)
             out = x0_training_loss(net_fn, k_loss, x, x0_sched,
@@ -528,13 +618,20 @@ def train_position_ddpm(config: dict, *, data_dir: Optional[str] = None,
                          condition=cond0, ts=jnp.zeros((2,), jnp.int32),
                          label=jnp.zeros((2,), jnp.int32))
     state = _init_state(variables["params"], optimizer, ema_rates)
+    mesh = mesh or make_data_mesh()
+    fused_apply = None
+    if task == "keypoint_generation":     # conditionless fixed-N hot path
+        fused_apply = maybe_fused_train_apply(
+            config["pointnet_config"], npts, trainset_config["batch_size"],
+            mesh)
     if use_x0:
         sdc = config["standard_diffusion_config"]
         step = make_x0_train_step(net, X0Schedule.from_config(sdc), sdc,
-                                  optimizer, ema_rates, task, trainset_config)
+                                  optimizer, ema_rates, task, trainset_config,
+                                  fused_apply=fused_apply)
     else:
         step = make_train_step(net, sched, optimizer, ema_rates, task,
-                               trainset_config)
+                               trainset_config, fused_apply=fused_apply)
     if eval_hook == "auto":
         eval_hook = make_generation_eval_hook(
             config, net, sched, data_dir=data_dir, seed=seed,
@@ -732,7 +829,8 @@ def train_upsampler(config: dict, *, ae_params=None,
 
 def make_latent_train_step(net: ConditionalPointNet2, ae: PointAutoencoder,
                            ae_params, sched: X0Schedule, diffusion_config: dict,
-                           optimizer, ema_rates, trainset_config: dict) -> Callable:
+                           optimizer, ema_rates, trainset_config: dict,
+                           fused_apply: Optional[Callable] = None) -> Callable:
     kp_cond = diffusion_config.get("keypoint_conditional", False)
     from slide_tpu.diffusion.latent import latent_config_weights
     kp_w, feat_w = latent_config_weights(diffusion_config)
@@ -752,6 +850,8 @@ def make_latent_train_step(net: ConditionalPointNet2, ae: PointAutoencoder,
 
         def loss_fn(params):
             def net_fn(xt, ts):
+                if fused_apply is not None:
+                    return fused_apply(params, xt, ts, label)
                 return net.apply({"params": params}, xt, ts=ts, label=label)
             per_sample = latent_train_loss(
                 net_fn, encode_fn, k_loss, x, keypoint, label, sched,
@@ -793,8 +893,12 @@ def train_latent_ddpm(config: dict, ae_params, *, data_dir: Optional[str] = None
                          ts=jnp.zeros((2,), jnp.int32),
                          label=jnp.zeros((2,), jnp.int32))
     state = _init_state(variables["params"], optimizer, ema_rates)
+    mesh = mesh or make_data_mesh()
+    fused_apply = maybe_fused_train_apply(
+        config["pointnet_config"], k, trainset_config["batch_size"], mesh)
     step = make_latent_train_step(net, ae, ae_params, sched, sdc, optimizer,
-                                  ema_rates, trainset_config)
+                                  ema_rates, trainset_config,
+                                  fused_apply=fused_apply)
     if eval_hook == "auto":
         eval_hook = make_latent_eval_hook(config, net, ae, ae_params, sched,
                                           data_dir=data_dir, seed=seed)
