@@ -1,0 +1,335 @@
+"""Convergence campaign (VERDICT r1 item 7): train all four stages on the
+real chip against a few-hundred-shape synthetic corpus, then run the full
+generation pipeline and the complete generative-metric suite on hundreds of
+samples — the scaled-up version of round 1's 24-shape check, mirroring the
+reference's eval protocol (`pointnet2/models/pvd/metrics/
+evaluation_metrics.py:129-157` and `mesh_evaluation.py:15-186`).
+
+Stages are independent and resumable (checkpoints land under
+runs/convergence/exps/<stage>):
+
+  python benchmarks/convergence_campaign.py data        # write the corpus
+  python benchmarks/convergence_campaign.py kp          # keypoint DDPM
+  python benchmarks/convergence_campaign.py ae          # autoencoder
+  python benchmarks/convergence_campaign.py lat         # latent DDPM
+  python benchmarks/convergence_campaign.py sap         # SAP upsampler
+  python benchmarks/convergence_campaign.py eval        # metrics report
+
+The report is written to runs/convergence/report.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+
+ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "runs", "convergence")
+DATA = os.path.join(ROOT, "data")
+SAP_DATA = os.path.join(ROOT, "sap_data")
+EXPS = os.path.join(ROOT, "exps")
+
+CATEGORIES = ("airplane", "chair")
+SYNSETS = ("02691156", "03001627")
+MODELS_PER_SPLIT = 200
+SAP_MODELS = 60
+
+import jax                                                  # noqa: E402
+import jax.numpy as jnp                                     # noqa: E402
+import numpy as np                                          # noqa: E402
+
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+except Exception:
+    pass
+
+
+def _latest_ckpt(exp_root):
+    from slide_tpu.train.checkpoint import load_checkpoint
+    paths = glob.glob(os.path.join(exp_root, "**", "pointnet_ckpt_*.pkl"),
+                      recursive=True)
+    if not paths:
+        raise FileNotFoundError(f"no checkpoint under {exp_root}")
+    best = max(paths, key=lambda p: int(p.rsplit("_", 1)[1].split(".")[0]))
+    return load_checkpoint(os.path.dirname(best), None), best
+
+
+def _tune(cfg, exp_name, steps, *, batch_size=None, log_every=200):
+    """Point a preset config at the campaign corpus/exp dirs and size the
+    epoch math so run_training does exactly `steps` iterations with a final
+    checkpoint on the last one."""
+    ts = cfg["shapenet_psr_dataset_config"]
+    ts["data_dir"] = DATA
+    ts["categories"] = list(SYNSETS)
+    ts["repeat_dataset"] = 1
+    if batch_size:
+        ts["batch_size"] = batch_size
+    tc = cfg["train_config"]
+    tc["root_directory"] = os.path.join(EXPS, exp_name)
+    # loader length with this corpus: n_models*2 cats / batch
+    n_batches = (MODELS_PER_SPLIT * len(SYNSETS)) // ts["batch_size"]
+    tc["n_epochs"] = int(np.ceil(steps / n_batches))
+    # 4 checkpoints across the run, always one on the final iteration
+    tc["epochs_per_ckpt"] = max(1, steps // 4) / n_batches
+    tc["iters_per_logging"] = log_every
+    return cfg, steps
+
+
+def stage_data():
+    from slide_tpu.data.synthetic import write_synthetic_shapenet_psr
+    t0 = time.time()
+    write_synthetic_shapenet_psr(
+        DATA, categories=SYNSETS, models_per_split=MODELS_PER_SPLIT,
+        num_points=3000, seed=11, with_psr=False, shape_variety=True)
+    print(f"corpus: {len(SYNSETS)} cats x {MODELS_PER_SPLIT}/split "
+          f"({time.time()-t0:.0f}s)")
+    t0 = time.time()
+    write_synthetic_shapenet_psr(
+        SAP_DATA, categories=SYNSETS[:1], models_per_split=SAP_MODELS,
+        num_points=3000, psr_res=128, seed=13, with_psr=True,
+        shape_variety=True, psr_from_points=True)
+    print(f"sap corpus: {SAP_MODELS}/split with 128^3 DPSR grids "
+          f"({time.time()-t0:.0f}s)")
+
+
+def stage_kp(steps=20000):
+    from slide_tpu.configs import keypoint_ddpm_config
+    from slide_tpu.train.driver import train_position_ddpm
+    cfg, steps = _tune(keypoint_ddpm_config(CATEGORIES[0]), "kp", steps)
+    t0 = time.time()
+    state, losses = train_position_ddpm(cfg, max_iters=steps)
+    print(f"kp: {steps} steps in {time.time()-t0:.0f}s "
+          f"({steps/(time.time()-t0):.1f} steps/s), "
+          f"loss {losses[0][1]:.4f} -> {losses[-1][1]:.4f}")
+
+
+def stage_ae(steps=6000):
+    from slide_tpu.configs import autoencoder_config
+    from slide_tpu.train.driver import train_autoencoder
+    cfg, steps = _tune(autoencoder_config(CATEGORIES[0]), "ae", steps)
+    t0 = time.time()
+    state, losses = train_autoencoder(cfg, max_iters=steps)
+    print(f"ae: {steps} steps in {time.time()-t0:.0f}s, "
+          f"loss {losses[0][1]:.4f} -> {losses[-1][1]:.4f}")
+
+
+def stage_lat(steps=12000):
+    from slide_tpu.configs import latent_ddpm_config
+    from slide_tpu.train.driver import train_latent_ddpm
+    ckpt, path = _latest_ckpt(os.path.join(EXPS, "ae"))
+    print("frozen AE from", path)
+    cfg, steps = _tune(latent_ddpm_config(CATEGORIES[0]), "lat", steps)
+    t0 = time.time()
+    state, losses = train_latent_ddpm(cfg, ckpt["model_state_dict"],
+                                      max_iters=steps)
+    print(f"lat: {steps} steps in {time.time()-t0:.0f}s, "
+          f"loss {losses[0][1]:.4f} -> {losses[-1][1]:.4f}")
+
+
+def stage_sap(steps=2000):
+    from slide_tpu.configs import upsampler_config
+    from slide_tpu.train.driver import train_upsampler
+    cfg = upsampler_config(batch_size=8)
+    ts = cfg["shapenet_psr_dataset_config"]
+    ts["data_dir"] = SAP_DATA
+    ts["categories"] = list(SYNSETS[:1])
+    ts["repeat_dataset"] = 1
+    tc = cfg["train_config"]
+    tc["root_directory"] = os.path.join(EXPS, "sap")
+    n_batches = SAP_MODELS // ts["batch_size"]
+    tc["n_epochs"] = int(np.ceil(steps / n_batches))
+    tc["epochs_per_ckpt"] = max(1, steps // 2) / n_batches
+    tc["iters_per_logging"] = 50
+    ae_params = None
+    try:
+        ckpt, path = _latest_ckpt(os.path.join(EXPS, "ae"))
+        ae_params = ckpt["model_state_dict"]
+        print("AE corruption path from", path)
+    except FileNotFoundError:
+        print("no AE checkpoint — training without the AE corruption path")
+    t0 = time.time()
+    state, losses = train_upsampler(cfg, ae_params=ae_params, max_iters=steps)
+    print(f"sap: {steps} steps in {time.time()-t0:.0f}s, "
+          f"loss {losses[0][1]:.6f} -> {losses[-1][1]:.6f}")
+
+
+def _test_clouds(n, npoints=2048):
+    """Held-out test-split clouds (points+normals) and labels."""
+    from slide_tpu.data.loader import get_dataloader
+    ts = {"dataset": "shapenet_psr_dataset", "data_dir": DATA,
+          "categories": list(SYNSETS), "npoints": npoints, "scale": 1,
+          "batch_size": 50, "eval_batch_size": 50, "num_workers": 0,
+          "num_keypoints": 16, "keypoints_source": "farthest_points_sampling"}
+    loader = get_dataloader(ts, phase="test", shuffle=False)
+    pts, lbl = [], []
+    for b in loader:
+        pts.append(np.asarray(b["points"], np.float32))
+        lbl.append(np.asarray(b["label"], np.int64))
+        if sum(p.shape[0] for p in pts) >= n:
+            break
+    return (np.concatenate(pts)[:n], np.concatenate(lbl)[:n])
+
+
+def stage_eval(n_samples=400, t_steps=1000, metric_points=2048):
+    """Generate n_samples through the trained pipeline and run the metric
+    suite at BOTH levels: keypoints (16 pts) and full clouds (2048 pts)."""
+    from slide_tpu.configs import (keypoint_ddpm_config, latent_ddpm_config,
+                                   autoencoder_config)
+    from slide_tpu.models import ConditionalPointNet2
+    from slide_tpu.train import build_autoencoder
+    from slide_tpu.diffusion import (calc_diffusion_hyperparams,
+                                     diffusion_sampling)
+    from slide_tpu.diffusion.x0 import X0Schedule
+    from slide_tpu.diffusion.latent import latent_denoise_and_reconstruct
+    from slide_tpu.eval.metrics import (compute_all_metrics,
+                                        jsd_between_point_cloud_sets)
+    from slide_tpu.ops import sample_keypoints
+
+    report = {}
+    b = 50
+    label_all = np.zeros((n_samples,), np.int64)   # labels are cosmetic here
+    kp_ck, kp_path = _latest_ckpt(os.path.join(EXPS, "kp"))
+    print("kp ckpt:", kp_path)
+    # EMA shadow 0 if present (the reference evaluates EMA models)
+    kp_params = (kp_ck.get("ema_state_list") or [kp_ck["model_state_dict"]])[0]
+
+    kp_cfg = keypoint_ddpm_config(CATEGORIES[0])
+    kp_cfg["diffusion_config"]["T"] = t_steps
+    kp_net = ConditionalPointNet2(kp_cfg["pointnet_config"])
+    kp_sched = calc_diffusion_hyperparams(t_steps, 1e-4, 0.02)
+
+    from slide_tpu.models.fused_denoiser import make_fused_net_fn
+    fused = None
+    if jax.default_backend() not in ("cpu",):
+        fused = make_fused_net_fn(kp_cfg["pointnet_config"], kp_params, 16)
+
+    def kp_net_fn(x, ts):
+        if fused is not None and fused.batch_ok(x.shape[0]):
+            return fused(x, ts, jnp.zeros((x.shape[0],), jnp.int32))
+        return kp_net.apply({"params": kp_params}, x, ts=ts,
+                            label=jnp.zeros((x.shape[0],), jnp.int32))
+
+    sample_kp = jax.jit(lambda k: diffusion_sampling(
+        kp_net_fn, k, (b, 16, 3), kp_sched))
+
+    gen_kp = []
+    key = jax.random.key(97)
+    t0 = time.time()
+    for i in range(n_samples // b):
+        key, ks = jax.random.split(key)
+        gen_kp.append(np.asarray(jax.block_until_ready(sample_kp(ks))))
+    gen_kp = np.concatenate(gen_kp)
+    print(f"generated {gen_kp.shape[0]} keypoint sets in {time.time()-t0:.0f}s")
+
+    # reference keypoints from held-out test clouds
+    test_pts, test_lbl = _test_clouds(n_samples)
+    ref_kp = np.asarray(sample_keypoints(jnp.asarray(test_pts), 16,
+                                         add_centroid=True)[0])
+
+    t0 = time.time()
+    m_kp = compute_all_metrics(jnp.asarray(gen_kp), jnp.asarray(ref_kp),
+                               batch_size=100)
+    m_kp = {k: float(v) for k, v in m_kp.items()}
+    m_kp["jsd"] = float(jsd_between_point_cloud_sets(gen_kp, ref_kp))
+    print(f"keypoint metrics in {time.time()-t0:.0f}s:", m_kp)
+    report["keypoint_level"] = m_kp
+    report["gen_kp_std"] = float(gen_kp.std())
+    report["ref_kp_std"] = float(ref_kp.std())
+
+    # ---- full pipeline to 2048-pt clouds
+    try:
+        lat_ck, lat_path = _latest_ckpt(os.path.join(EXPS, "lat"))
+        ae_ck, ae_path = _latest_ckpt(os.path.join(EXPS, "ae"))
+    except FileNotFoundError as e:
+        print("skipping cloud-level eval:", e)
+        _write(report)
+        return report
+    print("lat ckpt:", lat_path, "| ae ckpt:", ae_path)
+    lat_params = (lat_ck.get("ema_state_list")
+                  or [lat_ck["model_state_dict"]])[0]
+    ae_params = ae_ck["model_state_dict"]
+
+    lat_cfg = latent_ddpm_config(CATEGORIES[0])
+    lat_cfg["standard_diffusion_config"]["num_diffusion_timesteps"] = t_steps
+    lat_net = ConditionalPointNet2(lat_cfg["pointnet_config"])
+    lat_sched = X0Schedule.from_config(lat_cfg["standard_diffusion_config"])
+    ae_cfg = autoencoder_config(CATEGORIES[0])
+    ae = build_autoencoder(ae_cfg["pointnet_config"])
+
+    feat_dim = lat_cfg["pointnet_config"]["in_fea_dim"]
+
+    def decode_fn(kp, feat, lbl, kk):
+        return ae.apply({"params": ae_params}, kp, feat, label=lbl,
+                        method=ae.decode, rngs={"fps": kk})
+
+    def chain(k, kp, lbl):
+        def lat_net_fn(x, ts):
+            return lat_net.apply({"params": lat_params}, x, ts=ts, label=lbl)
+
+        return latent_denoise_and_reconstruct(
+            lat_net_fn, decode_fn, k, lbl.shape[0], 3, (16, 3 + feat_dim),
+            lat_sched, label=lbl, keypoint=kp)
+
+    sample_cloud = jax.jit(chain)
+    gen_clouds = []
+    t0 = time.time()
+    for i in range(n_samples // b):
+        key, ks = jax.random.split(key)
+        kp_i = jnp.asarray(gen_kp[i * b:(i + 1) * b])
+        lbl_i = jnp.zeros((b,), jnp.int32)
+        pts, _kp, _f = sample_cloud(ks, kp_i, lbl_i)
+        gen_clouds.append(np.asarray(jax.block_until_ready(pts))[..., :3])
+    gen_clouds = np.concatenate(gen_clouds)
+    print(f"decoded {gen_clouds.shape[0]} clouds in {time.time()-t0:.0f}s")
+
+    sub = min(metric_points, 2048)
+    t0 = time.time()
+    m_cloud = compute_all_metrics(jnp.asarray(gen_clouds[:, :sub]),
+                                  jnp.asarray(test_pts[:, :sub]),
+                                  batch_size=25)
+    m_cloud = {k: float(v) for k, v in m_cloud.items()}
+    m_cloud["jsd"] = float(jsd_between_point_cloud_sets(
+        gen_clouds[:, :sub], test_pts[:, :sub]))
+    print(f"cloud metrics in {time.time()-t0:.0f}s:", m_cloud)
+    report["cloud_level"] = m_cloud
+    _write(report)
+    return report
+
+
+def _write(report):
+    os.makedirs(ROOT, exist_ok=True)
+    with open(os.path.join(ROOT, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print("report ->", os.path.join(ROOT, "report.json"))
+
+
+STAGES = {"data": stage_data, "kp": stage_kp, "ae": stage_ae,
+          "lat": stage_lat, "sap": stage_sap, "eval": stage_eval}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("stages", nargs="+", choices=list(STAGES) + ["all"])
+    ap.add_argument("--steps", type=int, default=None,
+                    help="override step budget for single training stages")
+    args = ap.parse_args()
+    names = list(STAGES) if args.stages == ["all"] else args.stages
+    for name in names:
+        fn = STAGES[name]
+        if args.steps and name in ("kp", "ae", "lat", "sap"):
+            fn(args.steps)
+        else:
+            fn()
+
+
+if __name__ == "__main__":
+    main()
