@@ -107,7 +107,7 @@ def bench_denoise_steps(batch=200, t_steps=1000):
 def bench_e2e(batch=16, t_steps=1000, rounds=2):
     """Steady-state end-to-end meshes/sec/chip with marching overlapped."""
     from benchmarks.e2e_pipeline import build_stages, device_chain
-    from slide_tpu.sap.marching import mc_from_psr
+    from slide_tpu.sap.marching import mc_from_device_psr
 
     stages = build_stages(batch, t_steps=t_steps, verbose=True)
 
@@ -115,9 +115,9 @@ def bench_e2e(batch=16, t_steps=1000, rounds=2):
     march_times = []
 
     def march(grid):
+        # f16 on-device cast + per-sample transfer/extraction overlap
         t0 = time.perf_counter()
-        verts_l, _, _ = mc_from_psr(np.asarray(grid),
-                                    num_threads=min(batch, os.cpu_count() or 1))
+        verts_l, _, _ = mc_from_device_psr(grid)
         march_times.append(time.perf_counter() - t0)
         mesh_counts.append(sum(1 for v in verts_l if len(v)))
 

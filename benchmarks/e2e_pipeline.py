@@ -187,7 +187,7 @@ def device_chain(stages, key):
 
 
 def main():
-    from slide_tpu.sap.marching import mc_from_psr
+    from slide_tpu.sap.marching import mc_from_device_psr
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
@@ -224,8 +224,7 @@ def main():
         t4 = time.perf_counter()
         n_mesh = 0
         if not args.skip_mesh:
-            verts_l, _, _ = mc_from_psr(np.asarray(grid),
-                                        num_threads=min(b, os.cpu_count() or 1))
+            verts_l, _, _ = mc_from_device_psr(grid)
             n_mesh = sum(1 for v in verts_l if len(v))
         t5 = time.perf_counter()
         return {"position_ddpm_s": t1 - t0, "feature_ddpm_s": t2 - t1,

@@ -25,7 +25,7 @@ import numpy as np
 
 from slide_tpu.ops import sample_keypoints
 from slide_tpu.sap import (mirror_and_concat, network_output_to_dpsr_grid,
-                           mc_from_psr)
+                           mc_from_device_psr)
 from slide_tpu.sap.refine import compute_center_and_max_length
 from slide_tpu.sap.mesh_sampling import (sample_points_from_mesh,
                                          uniform_sample_points_from_mesh)
@@ -144,7 +144,7 @@ def reconstruct_meshes(net, params, dpsr, loader, pointnet_config, dpsr_config,
     # (jax dispatch is async; only the worker blocks on np.asarray).
     def host_work(outs, x_dev, label_dev, cat, center_dev, max_len_dev,
                   start_idx, rng_seed):
-        grid = np.asarray(outs[0])
+        grid = outs[0]          # device array; fetched inside mc_from_device_psr
         refined_p, refined_n = np.asarray(outs[1]), np.asarray(outs[2])
         x_np = np.asarray(x_dev)
         label_np = np.asarray(label_dev)
@@ -160,8 +160,8 @@ def reconstruct_meshes(net, params, dpsr, loader, pointnet_config, dpsr_config,
         out = {k: [] for k in ("points", "normals", "uniform_points",
                                "uniform_normals", "label")}
         try:
-            verts_l, faces_l, normals_l = mc_from_psr(
-                grid, num_threads=min(grid.shape[0], os.cpu_count() or 1))
+            # f16 on-device cast + per-sample transfer/extraction overlap
+            verts_l, faces_l, normals_l = mc_from_device_psr(grid)
         except ValueError as e:
             # batched mc_from_psr skips empties, but a SIZE-1 batch re-raises
             # (marching.py semantics) — skip the mesh, keep the run alive

@@ -255,18 +255,25 @@ def _add_per_batch(h, v, bt):
     return h + t[:, None, :]
 
 
-def _injection_mlp(x, w, spec, *, bt, t4=None, cls=None):
+def _injection_mlp(x, w, spec, *, bt, t4=None, cls=None, safe=False):
     """InjectionMLP (nn/layers.py): first_mlp (+t), second_mlp (+cond),
-    rest_mlp, residual.  x: (B*M, K, C)."""
+    rest_mlp, residual.  x: (B*M, K, C).  `safe` selects the VJP-lowerable
+    per-batch add (see `_add_per_batch`)."""
     feature = x
+
+    def _inject(h, v, c):
+        if safe:
+            return _add_per_batch(h, v, bt)
+        return (h.reshape(bt, -1, c) + v[:, None, :]).reshape(h.shape)
+
     h = _shared_mlp(x, w["first_mlp"], spec[0:2], bt=bt)
     if t4 is not None:
         t1 = _dense(t4, w["fc_t"])                       # (B, s1)
-        h = _add_per_batch(h, t1, bt)
+        h = _inject(h, t1, spec[1])
     h = _shared_mlp(h, w["second_mlp"], spec[1:3], bt=bt)
     if cls is not None:
         c1 = _dense(cls, w["fc_condition"])
-        h = _add_per_batch(h, c1, bt)
+        h = _inject(h, c1, spec[2])
     if len(spec) > 3:
         h = _shared_mlp(h, w["rest_mlp"], spec[2:], bt=bt)
     if spec[0] == spec[-1]:
@@ -325,18 +332,24 @@ def _concat_channels_via_dots(parts):
     return out.reshape(parts[0].shape[:-1] + (total,))
 
 
-def _attention_pool(feat, grouped, value_in, w, *, bt, c1, c2, c_out):
+def _attention_pool(feat, grouped, value_in, w, *, bt, c1, c2, c_out,
+                    safe=False):
     """AttentionPool (nn/attention.py) with full counts ('all' semantics —
     every slot valid, as guaranteed by 'nn' neighborhoods here).
     feat: (B, M, Cq); grouped: (B*M, K, Cg); value_in: (B*M, K, Cv).
 
-    All neighbor-slot broadcasts/reductions go through the one-hot expand/
-    pool matmuls (`_expand_pool_mats`) so the custom-VJP backward kernel
-    lowers (see the helper docstring)."""
+    With `safe`, neighbor-slot broadcasts/reductions go through the one-hot
+    expand/pool matmuls (`_expand_pool_mats`) so the custom-VJP backward
+    kernel lowers; the forward-only kernel keeps the cheaper broadcast/reduce
+    form (the (r*k, r) one-hot matrices grow quadratically with the batch
+    tile and blow VMEM at inference tile sizes)."""
     r, k, _ = grouped.shape
-    e_mat = _expand_pool_mats(r, k)
+    e_mat = _expand_pool_mats(r, k) if safe else None
     f1 = _dense(feat.reshape(-1, feat.shape[-1]), w["feat_conv"])  # (B*M, c1)
-    f1 = _expand_rows(e_mat, f1).reshape(r, k, c1)
+    if safe:
+        f1 = _expand_rows(e_mat, f1).reshape(r, k, c1)
+    else:
+        f1 = jnp.broadcast_to(f1[:, None, :], (r, k, c1))
     g1 = _dense(grouped.reshape(r * k, -1),
                 w["grouped_feat_conv"]).reshape(r, k, c2)
     total = jnp.concatenate([f1, g1], axis=-1)
@@ -353,19 +366,23 @@ def _attention_pool(feat, grouped, value_in, w, *, bt, c1, c2, c_out):
                          min(32, inter)).reshape(r, k, inter)
     scores = _dense(h.reshape(r * k, -1), w["w_conv_2"]).reshape(r, k, c_out)
     # softmax over the slot axis; the max shift is stability-only (constant
-    # wrt gradients), the sum/broadcast ride the pool/expand dots
+    # wrt gradients)
     scores = scores - jax.lax.stop_gradient(
         jnp.max(scores, axis=1, keepdims=True))
-    e = jnp.exp(scores).reshape(r * k, c_out)
-    se = _pool_rows(e_mat, e)                            # (r, c_out)
-    weight = e * _expand_rows(e_mat, 1.0 / se)           # (r*k, c_out)
-
     v = _dense(value_in.reshape(r * k, -1), w["feat_out_conv"])
     g = w["feat_out_norm"]["group_norm"]
     v = _tail_group_norm(v.reshape(bt, -1, c_out), g["scale"], g["bias"],
-                         min(32, c_out)).reshape(r * k, c_out)
+                         min(32, c_out))
     v = jax.nn.relu(v)
-    return _pool_rows(e_mat, v * weight)                 # (B*M, c_out)
+    if safe:
+        # sum/broadcast ride the pool/expand dots (VJP-lowerable)
+        e = jnp.exp(scores).reshape(r * k, c_out)
+        se = _pool_rows(e_mat, e)                        # (r, c_out)
+        weight = e * _expand_rows(e_mat, 1.0 / se)       # (r*k, c_out)
+        return _pool_rows(e_mat, v.reshape(r * k, c_out) * weight)
+    e = jnp.exp(scores)
+    weight = e / jnp.sum(e, axis=1, keepdims=True)
+    return jnp.sum(v.reshape(r, k, c_out) * weight, axis=1)   # (B*M, c_out)
 
 
 def _pairwise_sqdist(x):
@@ -416,7 +433,12 @@ def _gather(onehot2, src):
 
 def _forward_tile(spec: dict, w: dict, pc, t4, cls):
     """pc: (Bt, N, 3+in_fea-3) raw input pointcloud (xyz + features);
-    t4: (Bt, 4*t_dim); cls: (Bt, cls_dim).  Returns (Bt, N, out_dim)."""
+    t4: (Bt, 4*t_dim); cls: (Bt, cls_dim).  Returns (Bt, N, out_dim).
+
+    spec["vjp_safe"] selects dot-based forms for every op whose TRANSPOSE
+    trips Mosaic (set by make_fused_train_fn); forward-only kernels keep the
+    cheaper broadcast/reduce forms."""
+    safe = spec.get("vjp_safe", False)
     bt, n, _ = pc.shape
     inc_abs, inc_cen = spec["extra"]
     xyz = pc[..., :3]
@@ -477,10 +499,11 @@ def _forward_tile(spec: dict, w: dict, pc, t4, cls):
         grouped = group(l_feats[i], s["k"])              # (Bt, N, K, C)
         k = s["k"]
         g2 = grouped.reshape(bt * n, k, grouped.shape[-1])
-        out = _injection_mlp(g2, wsa["mlp"], s["spec"], bt=bt, t4=t4, cls=cls)
+        out = _injection_mlp(g2, wsa["mlp"], s["spec"], bt=bt, t4=t4,
+                             cls=cls, safe=safe)
         pooled = _attention_pool(l_feats[i], g2, out, wsa["attention"], bt=bt,
                                  c1=s["c_in1"], c2=s["c_in2"],
-                                 c_out=s["spec"][-1])
+                                 c_out=s["spec"][-1], safe=safe)
         l_feats.append(pooled.reshape(bt, n, s["spec"][-1]))
 
     # ---- FP tower (KnnFP, walked top-down like the flax module) ----------
@@ -492,14 +515,18 @@ def _forward_tile(spec: dict, w: dict, pc, t4, cls):
         skip = l_feats[i]
         grouped = group(known_feats, s["k"], with_knn_channels=True)
         g2 = grouped.reshape(bt * n, s["k"], grouped.shape[-1])
-        out1 = _injection_mlp(g2, wfp["mlp1"], s["spec1"], bt=bt)
+        out1 = _injection_mlp(g2, wfp["mlp1"], s["spec1"], bt=bt, safe=safe)
         interp = _attention_pool(skip, g2, out1, wfp["attention"], bt=bt,
                                  c1=s["c_in1"], c2=s["c_in2"],
-                                 c_out=s["spec1"][-1])
+                                 c_out=s["spec1"][-1], safe=safe)
         interp = interp.reshape(bt, n, s["spec1"][-1])
-        nf = _concat_channels_via_dots([interp, skip, xyz])
+        if safe:
+            nf = _concat_channels_via_dots([interp, skip, xyz])
+        else:
+            nf = jnp.concatenate([interp, skip, xyz], axis=-1)
         nf = nf.reshape(bt * n, 1, nf.shape[-1])
-        out2 = _injection_mlp(nf, wfp["mlp2"], s["spec2"], bt=bt, t4=t4, cls=cls)
+        out2 = _injection_mlp(nf, wfp["mlp2"], s["spec2"], bt=bt, t4=t4,
+                              cls=cls, safe=safe)
         l_feats[i] = out2.reshape(bt, n, s["spec2"][-1])
 
     # ---- head -------------------------------------------------------------
@@ -689,7 +716,13 @@ def make_fused_train_fn(config: Mapping[str, Any], n_points: int, *,
         spec = build_spec(config, n_points)
     except ValueError:
         return None
-    bwd_bb = bwd_block_b or block_b
+    # Only the BACKWARD kernel differentiates through _forward_tile (its body
+    # is jax.vjp of the recompute), so only IT needs the vjp_safe op forms;
+    # the custom-VJP forward kernel is never transposed and keeps the cheap
+    # broadcast/reduce forms (and can therefore use bigger batch tiles —
+    # the safe one-hot matrices grow quadratically with the tile).
+    spec_safe = dict(spec, vjp_safe=True)
+    bwd_bb = bwd_block_b or min(block_b, 8)
 
     def _resolve_pallas():
         if use_pallas is None:
@@ -705,10 +738,10 @@ def make_fused_train_fn(config: Mapping[str, Any], n_points: int, *,
     def _bwd_impl(pc, t4, cls, inner, g):
         if not _resolve_pallas():
             def f(p, t, c, w):
-                return _forward_tile(spec, w, p, t, c)
+                return _forward_tile(spec_safe, w, p, t, c)
             _, vjp = jax.vjp(f, pc, t4, cls, inner)
             return vjp(g)
-        return _pallas_backward(spec, inner, pc, t4, cls, g, bwd_bb,
+        return _pallas_backward(spec_safe, inner, pc, t4, cls, g, bwd_bb,
                                 interpret=interpret)
 
     if mesh is not None:

@@ -79,11 +79,14 @@ def ball_query(query: jax.Array, points: jax.Array, radius: float, k: int):
     d = pairwise_sqdist(query, points)               # (B, M, N)
     mask = d < jnp.float32(radius) ** 2              # (B, M, N)
     counts = jnp.minimum(jnp.sum(mask, axis=-1), k).astype(jnp.int32)
-    # "first k in index order": sort by (not-in-ball, index).  Masked entries
-    # keep their index as key; unmasked get index + N so they sort after.
+    # "first k in index order" = the k SMALLEST indices among in-ball points.
+    # top_k over negated keys is O(N log k) and stable (ties -> lowest index),
+    # vs a full O(N log N) argsort — matters at mirrored-SAP cloud sizes.
     iota = lax.broadcasted_iota(jnp.int32, (b, m, n), 2)
     keys = jnp.where(mask, iota, iota + n)
-    order = jnp.argsort(keys, axis=-1)[..., :k].astype(jnp.int32)
+    # top_k positions of the k largest -keys = k smallest keys, in ascending
+    # key order; keys are unique so position == point index
+    order = lax.top_k(-keys, k)[1].astype(jnp.int32)
     first = order[..., :1]                           # first found (or 0 if none)
     slot = lax.broadcasted_iota(jnp.int32, (b, m, k), 2)
     idx = jnp.where(slot < counts[..., None], order, first)

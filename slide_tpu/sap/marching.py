@@ -233,3 +233,52 @@ def mc_from_psr(psr_grid, real_scale: bool = False, zero_level: float = 0.0,
     faces_l = [r[1] for r in results]
     normals_l = [r[2] for r in results]
     return verts_l, faces_l, normals_l
+
+def mc_from_device_psr(psr_grid_dev, real_scale: bool = False,
+                       zero_level: float = 0.0, transfer_dtype="float16"):
+    """`mc_from_psr` for a (B, r, r, r) grid still ON the accelerator.
+
+    The naive path (`np.asarray(grid)` then march) is transfer-bound on
+    remote-device setups: a 16x128^3 f32 batch is 134 MB over the link.  This
+    variant (a) casts to `transfer_dtype` (default f16 — the SAP grid is
+    tanh-bounded, so the zero crossing moves by ~1e-3 grid units) on device,
+    halving the traffic, and (b) overlaps each sample's device->host transfer
+    with the (native C++) extraction of the previous sample.
+
+    Returns (verts_l, faces_l, normals_l) like `mc_from_psr`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    b = psr_grid_dev.shape[0]
+    s = psr_grid_dev.shape[-1]
+    if transfer_dtype is not None:
+        psr_grid_dev = jax.jit(
+            lambda g: g.astype(jnp.dtype(transfer_dtype)))(psr_grid_dev)
+
+    def fetch(i):
+        return np.asarray(jax.device_get(psr_grid_dev[i]), np.float32)
+
+    def one(vol):
+        try:
+            v, f, n = marching_tetrahedra(vol, level=zero_level)
+        except ValueError:
+            if b == 1:
+                raise
+            return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64),
+                    np.zeros((0, 3), np.float32))
+        v = v / (s - 1) if real_scale else v / s
+        return v.astype(np.float32), f, n.astype(np.float32)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    results = []
+    with ThreadPoolExecutor(1) as fpool:
+        nxt = fpool.submit(fetch, 0)
+        for i in range(b):
+            cur = nxt.result()
+            if i + 1 < b:
+                nxt = fpool.submit(fetch, i + 1)
+            results.append(one(cur))
+    return ([r[0] for r in results], [r[1] for r in results],
+            [r[2] for r in results])

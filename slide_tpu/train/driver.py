@@ -161,12 +161,27 @@ def run_training(config: dict, state: TrainState, train_step: Callable, *,
         ckpt = load_checkpoint(output_directory,
                                None if ckpt_sel == "max" else ckpt_sel)
         if ckpt is not None:
+            # re-seat the saved leaves in the freshly-built optax structure;
+            # validate leaf count AND shapes first — a silent mismatch (optax
+            # version drift, changed optimizer config) would scramble moments
+            saved = jax.tree.leaves(ckpt["optimizer_state_dict"])
+            fresh = jax.tree.leaves(state.opt_state)
+            if len(saved) != len(fresh):
+                raise ValueError(
+                    f"optimizer state in checkpoint has {len(saved)} leaves, "
+                    f"the configured optimizer expects {len(fresh)} — resume "
+                    "with the original optimizer or clear ckpt_iter")
+            for i, (s, f) in enumerate(zip(saved, fresh)):
+                if jnp.shape(s) != jnp.shape(f):
+                    raise ValueError(
+                        f"optimizer-state leaf {i} shape {jnp.shape(s)} != "
+                        f"expected {jnp.shape(f)} — checkpoint/optimizer "
+                        "mismatch")
             state = state.replace(
                 step=jnp.asarray(ckpt["iter"] + 1, jnp.int32),
                 params=ckpt["model_state_dict"],
                 opt_state=jax.tree.unflatten(
-                    jax.tree.structure(state.opt_state),
-                    jax.tree.leaves(ckpt["optimizer_state_dict"])),
+                    jax.tree.structure(state.opt_state), saved),
                 ema=tuple(ckpt["ema_state_list"]) if ema_rates else state.ema)
             ckpt_iter = ckpt["iter"]
             time_offset = ckpt.get("training_time_seconds", 0)
@@ -506,8 +521,10 @@ def maybe_fused_train_apply(pointnet_config: dict, n_points: int,
     if batch_size % n_dev != 0:
         return None
     local_b = batch_size // n_dev
-    block_b = next((d for d in (8, 4, 2, 1) if local_b % d == 0 and
-                    d <= local_b), None)
+    # forward kernel: prefer the biggest tile that fits VMEM (bb=40 proven on
+    # v5e); the backward kernel is capped at 8 inside make_fused_train_fn
+    block_b = next((d for d in (40, 32, 16, 8, 4, 2, 1)
+                    if local_b % d == 0 and d <= local_b), None)
     if block_b is None:
         return None
     from slide_tpu.models.fused_denoiser import make_fused_train_fn

@@ -78,13 +78,23 @@ def test_fused_sampling_chain_matches_flax():
                                rtol=1e-3, atol=1e-3)
 
 
-def test_batch_divisibility_error():
+def test_batch_tiling_adapts_and_rejects():
+    """Non-divisible small batches fall back to a single tile (always
+    Mosaic-lowerable); large non-multiple-of-8 batches still raise."""
     cfg, net, variables, x, ts, lbl = _setup(keypoint_ddpm_config, 3, b=6)
     spec = build_spec(cfg, 16)
     weights = extract_weights(variables["params"])
+    out = fused_forward(spec, weights, x, ts, lbl, block_b=4, use_pallas=True,
+                        interpret=True)
+    ref = fused_forward(spec, weights, x, ts, lbl, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    big = jnp.zeros((100, 16, 3))
     with pytest.raises(ValueError, match="divisible"):
-        fused_forward(spec, weights, x, ts, lbl, block_b=4, use_pallas=True,
-                      interpret=True)
+        jax.eval_shape(lambda: fused_forward(
+            spec, weights, big, jnp.zeros((100,), jnp.int32),
+            jnp.zeros((100,), jnp.int32), block_b=16, use_pallas=True,
+            interpret=True))
 
 
 def test_unsupported_shapes_return_none():

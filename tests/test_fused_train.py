@@ -117,5 +117,6 @@ def test_mesh_fused_net_fn_matches_single_device():
     assert dist.block_b == 8 and dist.batch_ok(16) and not dist.batch_ok(12)
     out_ref = ref(x, ts, lbl)
     out_dist = dist(x, ts, lbl)
+    # per-shard tiling changes f32 accumulation order slightly
     np.testing.assert_allclose(np.asarray(out_dist), np.asarray(out_ref),
-                               rtol=1e-5, atol=1e-6)
+                               rtol=1e-5, atol=1e-5)

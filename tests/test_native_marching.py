@@ -66,3 +66,21 @@ def test_mc_from_psr_batch_uses_same_semantics():
     verts_l, faces_l, normals_l = mc_from_psr(grid, num_threads=2)
     assert len(verts_l[0]) > 0 and len(verts_l[1]) == 0   # empty -> empty arrays
     assert (verts_l[0] >= 0).all() and (verts_l[0] <= 1).all()
+
+
+def test_mc_from_device_psr_matches_host_path():
+    """f16-transfer + pipelined extraction agrees with mc_from_psr to the
+    f16 rounding of the field values."""
+    import jax.numpy as jnp
+    from slide_tpu.sap.marching import mc_from_psr, mc_from_device_psr
+
+    rng = np.random.default_rng(3)
+    x, y, z = np.mgrid[:20, :20, :20] / 19.0 - 0.5
+    base = (0.35 - np.sqrt(x * x + y * y + z * z))[None]
+    g = (base + 0.05 * rng.uniform(-1, 1, (2, 20, 20, 20))).astype(np.float32)
+    v1, f1, n1 = mc_from_psr(g)
+    v2, f2, n2 = mc_from_device_psr(jnp.asarray(g))
+    for a, b in zip(v1, v2):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.sort(a.ravel()), np.sort(b.ravel()),
+                                   atol=2e-4)
