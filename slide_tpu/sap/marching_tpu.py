@@ -1,0 +1,282 @@
+"""Marching tetrahedra ON the accelerator (XLA/jit) with fixed output
+budgets — the device-resident counterpart of `sap/marching.py` (same 6-tet
+decomposition, same case tables, same vertex/normal math; reference
+capability: `dpsr_utils/utils.py:246-287` mc_from_psr + pytorch3d
+`sample_points_from_meshes`, `dpsr_evaluation.py:310-327`).
+
+Why: the host path must ship the full PSR grid off-device (a 16x128^3 batch
+is 67 MB even at f16), which dominates the end-to-end pipeline on
+remote-device links.  Extracting on device lets the whole
+generate -> SAP -> mesh -> point-sample pipeline stay device-resident;
+what leaves the chip is 2048 sampled points per shape (24 KB).
+
+Design (all shapes static, jit/scan-friendly — no data-dependent shapes):
+  - Active cells (corner signs straddle the level) are compacted WITHOUT
+    scatters: cumsum over the flat crossing mask + one searchsorted per
+    output slot (gather-only, TPU-friendly).
+  - Triangles are emitted with PER-CORNER geometry (position + normal +
+    canonical edge key) — no on-device vertex dedup.  Point sampling never
+    needs dedup (areas are identical), and host export dedups the ~3*F keys
+    in microseconds.  This keeps the device work at O(active cells), not
+    O(grid * 7) — the dedup-on-device variant cost ~300 ms/128^3 grid, this
+    one is an order of magnitude lighter.
+  - Each edge's canonical key is (base grid vertex) * 7 + (positive offset
+    class), so host dedup reproduces EXACTLY the numpy path's vertex set.
+  - Triangle case tables are tiny dense int32 arrays traced as constants.
+
+Budget overflow (n_faces > f_max, n_cells > c_max) is reported, not hidden;
+callers retry with bigger budgets or fall back to the host path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slide_tpu.sap.marching import _CASES, _CORNERS, _EDGES, _TETS
+
+# the 7 canonical positive edge-offset classes (axis x3, face diag x3, body)
+_CLASS_OFFSETS = np.array([
+    (1, 0, 0), (0, 1, 0), (0, 0, 1),
+    (1, 1, 0), (1, 0, 1), (0, 1, 1), (1, 1, 1)], np.int64)
+
+
+def _build_tables():
+    """Static tables:
+    TRI[case, k, j]   -> local tet-edge id of corner j of the k-th triangle
+                         (or -1 when the case has < k+1 triangles)
+    NTRI[case]        -> number of triangles for the case
+    EBASE[tet, edge]  -> local cube-corner id of the edge's canonical base
+    ECLS[tet, edge]   -> offset class id (0..6)
+    """
+    tri = -np.ones((16, 2, 3), np.int32)
+    ntri = np.zeros((16,), np.int32)
+    for case, tris in _CASES.items():
+        ntri[case] = len(tris)
+        for k, t in enumerate(tris):
+            tri[case, k] = t
+    ebase = np.zeros((6, 6), np.int32)
+    ecls = np.zeros((6, 6), np.int32)
+    cls_of = {tuple(o): i for i, o in enumerate(_CLASS_OFFSETS)}
+    for t in range(6):
+        for e in range(6):
+            a, b = _TETS[t][_EDGES[e][0]], _TETS[t][_EDGES[e][1]]
+            ca, cb = _CORNERS[a], _CORNERS[b]
+            if np.all(cb - ca >= 0):
+                base, off = a, tuple(cb - ca)
+            elif np.all(ca - cb >= 0):
+                base, off = b, tuple(ca - cb)
+            else:
+                raise AssertionError("non-canonical tet edge")  # never happens
+            ebase[t, e] = base
+            ecls[t, e] = cls_of[off]
+    return tri, ntri, ebase, ecls
+
+
+_TRI_T, _NTRI_T, _EBASE_T, _ECLS_T = _build_tables()
+
+
+def _gradient(vol):
+    """np.gradient equivalent: central differences, one-sided at borders."""
+    out = []
+    for ax in range(3):
+        a = jnp.moveaxis(vol, ax, 0)
+        interior = (a[2:] - a[:-2]) * 0.5
+        first = (a[1] - a[0])[None]
+        last = (a[-1] - a[-2])[None]
+        g = jnp.concatenate([first, interior, last], axis=0)
+        out.append(jnp.moveaxis(g, 0, ax))
+    return jnp.stack(out, axis=-1)                       # (r0,r1,r2,3)
+
+
+def _nth_true_indices(mask_flat, budget):
+    """Indices of the first `budget` True entries of a flat bool mask
+    (cumsum + searchsorted; gather-only, no scatters).  Returns (ids, count);
+    ids beyond count are garbage — callers mask with `arange < count`."""
+    cum = jnp.cumsum(mask_flat.astype(jnp.int32))
+    count = cum[-1]
+    ids = jnp.searchsorted(cum, jnp.arange(1, budget + 1, dtype=jnp.int32),
+                           side="left").astype(jnp.int32)
+    return ids, count
+
+
+@functools.partial(jax.jit, static_argnames=("f_max", "c_max"))
+def marching_tetrahedra_device(vol, level=0.0, *, f_max: int = 262144,
+                               c_max: int = 131072):
+    """Single-grid device extraction.  vol: (r0, r1, r2) f32.
+
+    Returns a dict of PADDED arrays (triangle soup + canonical edge keys):
+      corner_pos  (f_max, 3, 3) f32  triangle corner positions (grid coords)
+      corner_nrm  (f_max, 3, 3) f32  unit -grad(vol) at each corner
+      corner_key  (f_max, 3) i32     canonical edge key (base_lin * 7 + cls);
+                                     equal keys = the SAME mesh vertex
+      n_faces, n_cells () i32        true counts (> budget = OVERFLOW)
+    Same math as marching.py's numpy path (winding, interpolation, normals);
+    vertex dedup happens on host (`device_mesh_to_host`).
+    """
+    vol = vol.astype(jnp.float32)
+    r0, r1, r2 = vol.shape
+    size = r0 * r1 * r2
+    flat = vol.reshape(-1)
+    inside = vol > level
+
+    # ---- active cells ------------------------------------------------------
+    icount = jnp.zeros((r0 - 1, r1 - 1, r2 - 1), jnp.int32)
+    for dx, dy, dz in _CORNERS:
+        icount = icount + inside[dx:r0 - 1 + dx, dy:r1 - 1 + dy,
+                                 dz:r2 - 1 + dz].astype(jnp.int32)
+    crossing = (icount > 0) & (icount < 8)
+    cid, n_cells = _nth_true_indices(crossing.reshape(-1), c_max)
+    valid_c = jnp.arange(c_max) < jnp.minimum(n_cells, c_max)
+    cid = jnp.where(valid_c, cid, 0)
+    cx = cid // ((r1 - 1) * (r2 - 1))
+    cy = (cid // (r2 - 1)) % (r1 - 1)
+    cz = cid % (r2 - 1)
+    corner_lin = ((cx[:, None] + _CORNERS[:, 0]) * (r1 * r2)
+                  + (cy[:, None] + _CORNERS[:, 1]) * r2
+                  + (cz[:, None] + _CORNERS[:, 2])).astype(jnp.int32)  # (C,8)
+    corner_in = inside.reshape(-1)[corner_lin]           # (C, 8) bool
+
+    # ---- candidate triangles: (C, 6 tets, 2 tris) --------------------------
+    tets = jnp.asarray(_TETS, jnp.int32)                 # (6, 4)
+    tet_in = corner_in[:, tets]                          # (C, 6, 4)
+    case = jnp.sum(tet_in.astype(jnp.int32)
+                   * jnp.asarray([1, 2, 4, 8], jnp.int32), axis=-1)  # (C, 6)
+    ntri = jnp.asarray(_NTRI_T)[case]                    # (C, 6)
+    loc_edge = jnp.maximum(jnp.asarray(_TRI_T)[case], 0)  # (C, 6, 2, 3)
+    tet_idx = jnp.arange(6, dtype=jnp.int32)[None, :, None, None]
+    base_corner = jnp.asarray(_EBASE_T)[tet_idx, loc_edge]  # (C, 6, 2, 3)
+    cls = jnp.asarray(_ECLS_T)[tet_idx, loc_edge]
+    base_lin = jnp.take_along_axis(
+        corner_lin[:, None, None, :],
+        base_corner.reshape(c_max, 1, 1, -1), axis=-1
+    ).reshape(c_max, 6, 2, 3)
+    cand_key = base_lin * 7 + cls                        # (C, 6, 2, 3)
+    exists = (jnp.arange(2, dtype=jnp.int32)[None, None, :] < ntri[:, :, None]) \
+        & valid_c[:, None, None]                         # (C, 6, 2)
+
+    fslot, n_faces = _nth_true_indices(exists.reshape(-1), f_max)
+    valid_f = jnp.arange(f_max) < jnp.minimum(n_faces, f_max)
+    fslot = jnp.where(valid_f, fslot, 0)
+    keys = cand_key.reshape(-1, 3)[fslot]                # (f_max, 3)
+    keys = jnp.where(valid_f[:, None], keys, 0)
+
+    # ---- per-corner geometry from the canonical keys -----------------------
+    p = keys // 7                                        # (f_max, 3)
+    c = keys % 7
+    dlin = jnp.asarray(_CLASS_OFFSETS[:, 0] * (r1 * r2)
+                       + _CLASS_OFFSETS[:, 1] * r2 + _CLASS_OFFSETS[:, 2],
+                       jnp.int32)
+    q = jnp.clip(p + dlin[c], 0, size - 1)
+    v0 = flat[p]
+    v1 = flat[q]
+    denom = v1 - v0
+    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    t = jnp.clip((level - v0) / denom, 0.0, 1.0)
+    p0 = jnp.stack([p // (r1 * r2), (p // r2) % r1, p % r2],
+                   -1).astype(jnp.float32)               # (f_max, 3, 3)
+    off = jnp.asarray(_CLASS_OFFSETS, jnp.float32)[c]
+    pos = p0 + t[..., None] * off                        # (f_max, 3, 3)
+
+    grad = _gradient(vol).reshape(-1, 3)
+    vi = jnp.clip(jnp.round(pos).astype(jnp.int32),
+                  jnp.zeros((3,), jnp.int32),
+                  jnp.asarray([r0 - 1, r1 - 1, r2 - 1], jnp.int32))
+    vlin = vi[..., 0] * (r1 * r2) + vi[..., 1] * r2 + vi[..., 2]
+    nrm = -grad[vlin]                                    # (f_max, 3, 3)
+    nn = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    nrm = nrm / jnp.where(nn < 1e-12, 1.0, nn)
+
+    # consistent winding: face normal vs summed corner normals (numpy parity)
+    fn = jnp.cross(pos[:, 1] - pos[:, 0], pos[:, 2] - pos[:, 0])
+    flip = jnp.sum(fn * jnp.sum(nrm, axis=1), axis=1) < 0
+    swap = jnp.asarray([0, 2, 1])
+    pos = jnp.where(flip[:, None, None], pos[:, swap], pos)
+    nrm = jnp.where(flip[:, None, None], nrm[:, swap], nrm)
+    keys = jnp.where(flip[:, None], keys[:, swap], keys)
+
+    return {"corner_pos": pos, "corner_nrm": nrm, "corner_key": keys,
+            "n_faces": n_faces, "n_cells": n_cells,
+            "c_budget": jnp.int32(c_max)}
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples",))
+def sample_points_from_mesh_device(mesh: dict, key, num_samples: int = 2048):
+    """Area-weighted triangle sampling + uniform barycentrics on device —
+    pytorch3d `sample_points_from_meshes` semantics (mesh_sampling.py host
+    oracle).  Degenerate/padded faces have zero area and are never selected.
+    Returns (points, normals) of shape (num_samples, 3) in the mesh's
+    coordinate frame."""
+    pos = mesh["corner_pos"]
+    valid_f = jnp.arange(pos.shape[0]) < jnp.minimum(mesh["n_faces"],
+                                                     pos.shape[0])
+    v0, v1, v2 = pos[:, 0], pos[:, 1], pos[:, 2]
+    cross = jnp.cross(v1 - v0, v2 - v0)
+    area = 0.5 * jnp.linalg.norm(cross, axis=1) * valid_f
+    cum = jnp.cumsum(area)
+    total = cum[-1]
+    k_sel, k_u, k_v = jax.random.split(key, 3)
+    u01 = jax.random.uniform(k_sel, (num_samples,)) * total
+    sel = jnp.clip(jnp.searchsorted(cum, u01), 0, pos.shape[0] - 1)
+    u = jax.random.uniform(k_u, (num_samples,))
+    v = jax.random.uniform(k_v, (num_samples,))
+    over = u + v > 1.0
+    u = jnp.where(over, 1.0 - u, u)
+    v = jnp.where(over, 1.0 - v, v)
+    w = 1.0 - u - v
+    pts = (w[:, None] * v0[sel] + u[:, None] * v1[sel] + v[:, None] * v2[sel])
+    n = cross[sel]
+    norm = jnp.linalg.norm(n, axis=1, keepdims=True)
+    n = n / jnp.where(norm < 1e-12, 1.0, norm)
+    return pts, n
+
+
+def mc_from_psr_device(psr_grid_dev, real_scale: bool = False,
+                       zero_level: float = 0.0, *, f_max: int = 262144,
+                       c_max: int = 131072):
+    """Batched (B, r, r, r) device extraction (lax.map over the batch to
+    bound memory).  Corner positions scaled like `mc_from_psr` ([0,1) or
+    [0,1]).  Returns the padded dict with a leading batch axis."""
+    s = psr_grid_dev.shape[-1]
+
+    def one(vol):
+        m = marching_tetrahedra_device(vol, zero_level, f_max=f_max,
+                                       c_max=c_max)
+        div = float((s - 1) if real_scale else s)
+        m["corner_pos"] = m["corner_pos"] / div
+        return m
+
+    return jax.lax.map(one, psr_grid_dev)
+
+
+def device_mesh_to_host(mesh_b: dict, index: int):
+    """Fetch ONE sample's mesh from a batched device dict and deduplicate on
+    host: slices to the true face count on device (only real bytes cross the
+    link), unifies corners by canonical edge key, drops degenerate faces —
+    the result matches the numpy path's (verts, faces, normals) content.
+    Raises ValueError on an empty surface, OverflowError when budgets were
+    exceeded."""
+    nf = int(mesh_b["n_faces"][index])
+    nc = int(mesh_b["n_cells"][index])
+    c_budget = int(np.ravel(np.asarray(mesh_b["c_budget"]))[0])
+    f_max = mesh_b["corner_key"].shape[1]
+    if nf == 0:
+        raise ValueError("level surface is empty")
+    if nf > f_max or nc > c_budget:
+        raise OverflowError(f"budget exceeded: {nf}/{f_max} faces, "
+                            f"{nc}/{c_budget} active cells")
+    keys = np.asarray(jax.device_get(mesh_b["corner_key"][index, :nf]))
+    pos = np.asarray(jax.device_get(mesh_b["corner_pos"][index, :nf]))
+    nrm = np.asarray(jax.device_get(mesh_b["corner_nrm"][index, :nf]))
+    uniq, inv = np.unique(keys.reshape(-1), return_inverse=True)
+    faces = inv.reshape(-1, 3).astype(np.int64)
+    verts = np.zeros((len(uniq), 3), np.float32)
+    normals = np.zeros((len(uniq), 3), np.float32)
+    verts[inv] = pos.reshape(-1, 3)
+    normals[inv] = nrm.reshape(-1, 3)
+    good = (faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2]) \
+        & (faces[:, 0] != faces[:, 2])
+    return verts, faces[good], normals
