@@ -126,3 +126,21 @@ def test_x0_engine_position_training(synth_root, tmp_path):
     # (unclamped x0 chamfer at large t is huge by design — the reference
     # mitigates with the t-truncated mixed loss, which we use here)
     assert len(vals) == 5 and all(np.isfinite(vals))
+
+
+def test_steps_per_dispatch_boundary_semantics(synth_root, tmp_path):
+    """Chunked scan dispatch must reproduce the per-step loop's cadence:
+    checkpoints exactly on epochs_per_ckpt boundaries, per-iteration logging
+    losses, and identical final-iteration count — for spd both dividing and
+    NOT dividing the checkpoint interval."""
+    for spd, tag in ((5, "a"), (4, "b"), (1, "c")):
+        exp_root = str(tmp_path / f"exp_{tag}")
+        cfg = tiny_config(synth_root, exp_root)
+        # loader length 1 (8 models, batch 8) -> iters_per_ckpt = 20
+        cfg["train_config"]["steps_per_dispatch"] = spd
+        state, losses = train_position_ddpm(cfg, max_iters=23, seed=0,
+                                            verbose=False)
+        assert [i for i, _ in losses] == list(range(23))
+        ckpt_dir = os.path.join(
+            exp_root, "T1000_betaT0.02_keypoint_ddpm_airplane", "checkpoint")
+        assert find_max_iter(ckpt_dir) == 19      # boundary at (19+1) % 20
