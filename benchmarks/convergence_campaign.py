@@ -293,9 +293,11 @@ def stage_eval(n_samples=400, t_steps=1000, metric_points=2048):
 
     sub = min(metric_points, 2048)
     t0 = time.time()
+    # CD family only at cloud scale — all-pairs auction EMD on 2048-pt
+    # clouds is days of device time (metrics.pairwise_emd_cd docstring)
     m_cloud = compute_all_metrics(jnp.asarray(gen_clouds[:, :sub]),
                                   jnp.asarray(test_pts[:, :sub]),
-                                  batch_size=25)
+                                  batch_size=25, with_emd=False)
     m_cloud = {k: float(v) for k, v in m_cloud.items()}
     m_cloud["jsd"] = float(jsd_between_point_cloud_sets(
         gen_clouds[:, :sub], test_pts[:, :sub]))

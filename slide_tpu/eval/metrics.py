@@ -40,17 +40,21 @@ def emd_cd(sample_pcs, ref_pcs, f1_threshold: float = 0.001):
     return {"CD": cd, "EMD": emd, "fscore": fs}
 
 
-@partial(jax.jit, static_argnames=())
-def _row_block(sample_one, ref_block):
+@partial(jax.jit, static_argnames=("with_emd",))
+def _row_block(sample_one, ref_block, with_emd=True):
     """(N, 3) vs (R, N, 3) -> (cd (R,), emd (R,))."""
     s = jnp.broadcast_to(sample_one[None], ref_block.shape)
-    return _cd_t(s, ref_block), earth_mover_distance(s, ref_block)
+    cd = _cd_t(s, ref_block)
+    emd = earth_mover_distance(s, ref_block) if with_emd else jnp.zeros_like(cd)
+    return cd, emd
 
 
 def pairwise_emd_cd(sample_pcs, ref_pcs, batch_size: int = 32,
-                    verbose: bool = False):
+                    verbose: bool = False, with_emd: bool = True):
     """All-pairs CD and EMD matrices (N_sample, N_ref)
-    (`_pairwise_EMD_CD_`, `evaluation_metrics.py:45-78`)."""
+    (`_pairwise_EMD_CD_`, `evaluation_metrics.py:45-78`).  with_emd=False
+    skips the auction EMD (zeros) — at 2048-pt clouds the O(pairs) EMD is
+    days of device time; the reference protocol reports CD-only there too."""
     sample_pcs = jnp.asarray(sample_pcs)
     ref_pcs = jnp.asarray(ref_pcs)
     n_s, n_r = sample_pcs.shape[0], ref_pcs.shape[0]
@@ -59,7 +63,7 @@ def pairwise_emd_cd(sample_pcs, ref_pcs, batch_size: int = 32,
     for i in range(n_s):
         for r0 in range(0, n_r, batch_size):
             block = ref_pcs[r0:r0 + batch_size]
-            cd, emd = _row_block(sample_pcs[i], block)
+            cd, emd = _row_block(sample_pcs[i], block, with_emd)
             all_cd[i, r0:r0 + block.shape[0]] = np.asarray(cd)
             all_emd[i, r0:r0 + block.shape[0]] = np.asarray(emd)
         if verbose and (i + 1) % 32 == 0:
@@ -111,21 +115,25 @@ def lgan_mmd_cov(all_dist):
 
 
 def compute_all_metrics(sample_pcs, ref_pcs, batch_size: int = 32,
-                        verbose: bool = False):
+                        verbose: bool = False, with_emd: bool = True):
     """The full suite (`evaluation_metrics.py:129-157`): MMD/COV (CD & EMD)
-    and 1-NNA (CD & EMD)."""
+    and 1-NNA (CD & EMD).  with_emd=False restricts to the CD family."""
     results = {}
     m_rs_cd, m_rs_emd = pairwise_emd_cd(ref_pcs, sample_pcs, batch_size,
-                                        verbose=verbose)
-    for name, mat in (("CD", m_rs_cd), ("EMD", m_rs_emd)):
+                                        verbose=verbose, with_emd=with_emd)
+    names = (("CD", m_rs_cd), ("EMD", m_rs_emd)) if with_emd \
+        else (("CD", m_rs_cd),)
+    for name, mat in names:
         for k, v in lgan_mmd_cov(mat.T).items():
             results[f"{k}-{name}"] = v
     m_rr_cd, m_rr_emd = pairwise_emd_cd(ref_pcs, ref_pcs, batch_size,
-                                        verbose=verbose)
+                                        verbose=verbose, with_emd=with_emd)
     m_ss_cd, m_ss_emd = pairwise_emd_cd(sample_pcs, sample_pcs, batch_size,
-                                        verbose=verbose)
-    for name, (rr, rs, ss) in (("CD", (m_rr_cd, m_rs_cd, m_ss_cd)),
-                               ("EMD", (m_rr_emd, m_rs_emd, m_ss_emd))):
+                                        verbose=verbose, with_emd=with_emd)
+    fams = (("CD", (m_rr_cd, m_rs_cd, m_ss_cd)),
+            ("EMD", (m_rr_emd, m_rs_emd, m_ss_emd))) if with_emd \
+        else (("CD", (m_rr_cd, m_rs_cd, m_ss_cd)),)
+    for name, (rr, rs, ss) in fams:
         one_nn = knn_classifier(rr, rs, ss, k=1, sqrt=False)
         results.update({f"1-NN-{name}-{k}": v for k, v in one_nn.items()
                         if "acc" in k})
