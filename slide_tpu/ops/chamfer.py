@@ -34,10 +34,17 @@ def chamfer_parts(x: jax.Array, y: jax.Array,
     'feat_y' per-point feature losses.
     """
     d = pairwise_sqdist(x, y)                      # (B, P1, P2)
-    dist_x = jnp.min(d, axis=2)
     idx_x = jnp.argmin(d, axis=2)
-    dist_y = jnp.min(d, axis=1)
     idx_y = jnp.argmin(d, axis=1)
+    # recompute the SELECTED distances in difference form: the matmul form
+    # (x^2+y^2-2xy, clamped at 0) suffers f32 cancellation for close pairs —
+    # exact zeros whose sqrt has an infinite gradient NaN'd AE training once
+    # reconstructions tightened.  Difference form is exact and is also what
+    # the reference's pytorch3d knn returns; selection stays on the matmul.
+    y_near = jnp.take_along_axis(y, idx_x[..., None], axis=1)   # (B, P1, 3)
+    x_near = jnp.take_along_axis(x, idx_y[..., None], axis=1)   # (B, P2, 3)
+    dist_x = jnp.sum((x - y_near) ** 2, axis=-1)
+    dist_y = jnp.sum((y - x_near) ** 2, axis=-1)
     out = {"dist_x": dist_x, "dist_y": dist_y, "idx_x": idx_x, "idx_y": idx_y}
     if x_feat is not None and y_feat is not None:
         y_near = jnp.take_along_axis(y_feat, idx_x[..., None], axis=1)  # (B,P1,F)
@@ -51,6 +58,12 @@ def chamfer_parts(x: jax.Array, y: jax.Array,
         else:
             raise ValueError(f"normal loss type {normal_loss_type} not supported")
     return out
+
+
+def _safe_sqrt(d, eps: float = 1e-12):
+    """sqrt with a bounded gradient at 0 (sqrt'(0) is inf; a bit-exact
+    coincidence between clouds would otherwise NaN cd_p training)."""
+    return jnp.sqrt(jnp.maximum(d, eps))
 
 
 def _cosine(a, b, eps: float = 1e-6):
@@ -91,12 +104,13 @@ def calc_cd(output: jax.Array, gt: jax.Array, *, calc_f1: bool = False,
     )
     dist1, dist2 = parts["dist_x"], parts["dist_y"]
     result = {
-        "cd_p": (jnp.sqrt(dist1).mean(1) + jnp.sqrt(dist2).mean(1)) / 2.0,
+        "cd_p": (_safe_sqrt(dist1).mean(1) + _safe_sqrt(dist2).mean(1)) / 2.0,
         "cd_t": dist1.mean(1) + dist2.mean(1),
     }
     if "feat_x" in parts:
         f1p, f2p = parts["feat_x"], parts["feat_y"]
-        result["cd_feature_p"] = (jnp.sqrt(f1p).mean(1) + jnp.sqrt(f2p).mean(1)) / 2.0
+        result["cd_feature_p"] = (_safe_sqrt(f1p).mean(1)
+                                  + _safe_sqrt(f2p).mean(1)) / 2.0
         result["cd_feature_t"] = f1p.mean(1) + f2p.mean(1)
     if calc_f1:
         result["f1"], _, _ = fscore(dist1, dist2, threshold=f1_threshold)
