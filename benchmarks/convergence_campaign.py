@@ -167,9 +167,9 @@ def _test_clouds(n, npoints=2048):
     from slide_tpu.data.loader import get_dataloader
     ts = {"dataset": "shapenet_psr_dataset", "data_dir": DATA,
           "categories": list(SYNSETS), "npoints": npoints, "scale": 1,
-          "batch_size": 50, "eval_batch_size": 50, "num_workers": 0,
+          "batch_size": 40, "eval_batch_size": 40, "num_workers": 0,
           "num_keypoints": 16, "keypoints_source": "farthest_points_sampling"}
-    loader = get_dataloader(ts, phase="test", shuffle=False)
+    loader = get_dataloader(ts, phase="test")
     pts, lbl = [], []
     for b in loader:
         pts.append(np.asarray(b["points"], np.float32))
@@ -195,8 +195,7 @@ def stage_eval(n_samples=400, t_steps=1000, metric_points=2048):
     from slide_tpu.ops import sample_keypoints
 
     report = {}
-    b = 50
-    label_all = np.zeros((n_samples,), np.int64)   # labels are cosmetic here
+    b = 40            # batch tile 40 is the proven fused-kernel VMEM size
     kp_ck, kp_path = _latest_ckpt(os.path.join(EXPS, "kp"))
     print("kp ckpt:", kp_path)
     # EMA shadow 0 if present (the reference evaluates EMA models)
