@@ -296,6 +296,13 @@ def run_training(config: dict, state: TrainState, train_step: Callable, *,
                 state = _dispatch(state)
         if pending and n_iter + len(pending) >= n_iters:
             state = _dispatch(state)
+    if n_iter > ckpt_iter + 1 and n_iter % iters_per_ckpt != 0 and rank == 0:
+        # the run ended off-cadence (max_iters cut, or iters_per_ckpt counts
+        # skipped partial batches): persist the final state anyway so no
+        # trained iterations are lost on resume/eval
+        save_checkpoint(output_directory, n_iter - 1, state.params,
+                        state.opt_state, int(time.time() - t0) + time_offset,
+                        ema_state_list=list(state.ema) if ema_rates else None)
     return state, losses
 
 

@@ -143,4 +143,7 @@ def test_steps_per_dispatch_boundary_semantics(synth_root, tmp_path):
         assert [i for i, _ in losses] == list(range(23))
         ckpt_dir = os.path.join(
             exp_root, "T1000_betaT0.02_keypoint_ddpm_airplane", "checkpoint")
-        assert find_max_iter(ckpt_dir) == 19      # boundary at (19+1) % 20
+        # cadence checkpoint at (19+1) % 20 AND the final off-cadence save
+        assert os.path.exists(
+            os.path.join(ckpt_dir, "pointnet_ckpt_19.pkl"))
+        assert find_max_iter(ckpt_dir) == 22
