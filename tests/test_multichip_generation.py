@@ -41,3 +41,32 @@ def test_sharded_generation(tmp_path):
                            str(tmp_path / "eval2"), "keypoint_generation")
     with np.load(f) as d1, np.load(f2) as d2:
         np.testing.assert_allclose(d1["points"], d2["points"], atol=2e-4)
+
+
+def test_sharded_generation_fused_interpret(tmp_path, monkeypatch):
+    """Mesh + fused kernel + T-step scan composition: SLIDE_TPU_FUSED=interpret
+    routes sharded generation through make_fused_net_fn(mesh=...) with the
+    Pallas kernel in interpret mode; result must match the flax mesh path."""
+    monkeypatch.setenv("SLIDE_TPU_FUSED", "interpret")
+    root = write_synthetic_shapenet_psr(str(tmp_path / "ds"),
+                                        categories=("02691156",),
+                                        models_per_split=4, num_points=400)
+    cfg = tiny_config(root, str(tmp_path / "exp"))
+    ts_cfg = dict(cfg["shapenet_psr_dataset_config"],
+                  num_samples_tested=16, eval_batch_size=16)  # 2 per device
+    net = ConditionalPointNet2(cfg["pointnet_config"])
+    variables = net.init(jax.random.key(0), jnp.zeros((1, 16, 3)),
+                         ts=jnp.zeros((1,), jnp.int32),
+                         label=jnp.zeros((1,), jnp.int32))
+    sched = calc_diffusion_hyperparams(3, 1e-4, 0.02)
+    mesh = make_data_mesh()
+    f = evaluate_per_rank(net, variables["params"], ts_cfg, sched,
+                          str(tmp_path / "eval"), "keypoint_generation",
+                          mesh=mesh)
+    monkeypatch.setenv("SLIDE_TPU_FUSED", "0")
+    f2 = evaluate_per_rank(net, variables["params"], ts_cfg, sched,
+                           str(tmp_path / "eval2"), "keypoint_generation",
+                           mesh=mesh)
+    with np.load(f) as d1, np.load(f2) as d2:
+        assert np.isfinite(d1["points"]).all()
+        np.testing.assert_allclose(d1["points"], d2["points"], atol=2e-4)
