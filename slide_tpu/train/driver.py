@@ -524,6 +524,18 @@ def maybe_fused_train_apply(pointnet_config: dict, n_points: int,
     interpret = env == "interpret"
     if not interpret and jax.default_backend() in ("cpu",):
         return None
+    # The backward kernel's recompute residuals must fit VMEM at the minimum
+    # batch tile (8, the Mosaic sublane floor).  The keypoint-scale config
+    # (channels <= 128) fits in the v5e's 128 MiB; the latent config's
+    # 256-512-wide stages exceed it, and the flax backward is within ~8% of
+    # the fused one anyway (CLAUDE.md round-2 findings) — so gate on width.
+    # SLIDE_TPU_FUSED_TRAIN=force skips the gate (bigger-VMEM parts).
+    if env != "force" and not interpret:
+        arch = pointnet_config.get("architecture", {})
+        widths = list(arch.get("feature_dim", [])) + \
+            list(arch.get("decoder_feature_dim", []))
+        if widths and max(widths) > 128:
+            return None
     n_dev = mesh.devices.size if mesh is not None else 1
     if batch_size % n_dev != 0:
         return None
