@@ -124,7 +124,7 @@ def bench_e2e(batch=16, t_steps=1000, rounds=2, stages=None):
         mesh_counts.append(sum(1 for v in verts_l if len(v)))
 
     # warmup: compile everything, measure per-stage device time + march time
-    print("bench_e2e: compiling + warmup ...", flush=True)
+    print("bench_e2e: compiling + warmup ...", file=sys.stderr, flush=True)
     tw0 = time.perf_counter()
     grid = device_chain(stages, jax.random.key(100))
     tw1 = time.perf_counter()
@@ -135,7 +135,7 @@ def bench_e2e(batch=16, t_steps=1000, rounds=2, stages=None):
     warm_march_s = march_times[-1]
     print(f"bench_e2e: device {device_s:.2f}s/batch, marching "
           f"{warm_march_s:.2f}s/batch (compile+warmup {tw1 - tw0:.0f}s)",
-          flush=True)
+          file=sys.stderr, flush=True)
     mesh_counts.clear()
     march_times.clear()
 

@@ -49,7 +49,9 @@ def _cpu_init(fn, *args, **kwargs):
 
 
 def _log(msg, t0):
-    print(f"[{time.perf_counter() - t0:7.1f}s] {msg}", flush=True)
+    # progress goes to stderr: bench.py's contract is ONE JSON line on stdout
+    print(f"[{time.perf_counter() - t0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def build_stages(batch, t_steps=1000, fastdpm=0, ckpts=None, ema_idx=-1,

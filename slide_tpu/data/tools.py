@@ -42,9 +42,13 @@ def remap_labels_to_sorted(npz_file: str, dataset_folder: str,
         data = {k: d[k] for k in d.files}
     data["label"] = np.array([order[categories[int(l)]]
                               for l in data["label"]])
-    out = out_file or os.path.split(npz_file)[1]
-    np.savez(out, **data)
-    return out
+    # default output lands NEXT TO the input with a distinct name — basename
+    # alone would resolve to the CWD and can silently clobber the input
+    if out_file is None:
+        root, ext = os.path.splitext(npz_file)
+        out_file = root + "_corrected" + (ext or ".npz")
+    np.savez(out_file, **data)
+    return out_file
 
 from slide_tpu.data.loader import BatchLoader
 from slide_tpu.data.shapenet_psr import ShapesPSRDataset, load_metadata

@@ -173,7 +173,14 @@ def evaluate_per_rank(net, params, trainset_config: dict, sched, save_dir: str,
     out = {k: [] for k in ("points", "keypoint", "keypoint_feature", "label",
                            "category", "category_name", "gt_points", "timing")}
     key = jax.random.key(seed + rank)
+    # local-resampling rows are consumed in loader order; under multi-rank
+    # eval the loader holds only this rank's shard, so start at the shard's
+    # GLOBAL row (same ceil-split as GeneralNpzDataset / the external
+    # keypoint file) — offset 0 on every rank would pair rank>0's samples
+    # with another shard's complete_x0 rows
     resample_offset = 0
+    if local_resampling and world_size > 1:
+        resample_offset = rank * int(np.ceil(len(complete_x0) / world_size))
     for idx, data in enumerate(loader):
         label = jnp.asarray(data["label"], jnp.int32)
         b = int(label.shape[0])

@@ -27,7 +27,13 @@ def _build_dir() -> str:
         return _DIR
     d = os.path.join(tempfile.gettempdir(),
                      f"slide_tpu_native_{os.getuid()}")
-    os.makedirs(d, exist_ok=True)
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    st = os.stat(d)
+    if st.st_uid != os.getuid() or (st.st_mode & 0o077):
+        # a shared-tmp dir we don't exclusively own could hold a pre-planted
+        # .so (the digest is computable from public sources); never load
+        # libraries from it — use a fresh private dir (no cross-process cache)
+        d = tempfile.mkdtemp(prefix="slide_tpu_native_")
     return d
 
 

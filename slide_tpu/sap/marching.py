@@ -253,8 +253,9 @@ def mc_from_device_psr(psr_grid_dev, real_scale: bool = False,
     b = psr_grid_dev.shape[0]
     s = psr_grid_dev.shape[-1]
     if transfer_dtype is not None:
-        psr_grid_dev = jax.jit(
-            lambda g: g.astype(jnp.dtype(transfer_dtype)))(psr_grid_dev)
+        # eager on-device cast (the compiled kernel is cached across calls;
+        # a fresh jit wrapper per call would re-trace every batch)
+        psr_grid_dev = psr_grid_dev.astype(jnp.dtype(transfer_dtype))
 
     def fetch(i):
         return np.asarray(jax.device_get(psr_grid_dev[i]), np.float32)

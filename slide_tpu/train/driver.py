@@ -225,6 +225,18 @@ def run_training(config: dict, state: TrainState, train_step: Callable, *,
             f"(pick batch_size as a multiple of {local_dev * world})")
 
     spd = max(1, int(train_config.get("steps_per_dispatch", 8)))
+    spd_capped = False
+
+    def _cap_spd(first_batch):
+        # keep the stacked super-batch under ~256 MB (a 128^3 psr grid batch
+        # is 67 MB alone — blindly stacking 8 would 8x host+HBM pressure)
+        nonlocal spd, spd_capped
+        if spd_capped:
+            return
+        nbytes = sum(np.asarray(v).nbytes for k, v in first_batch.items()
+                     if k in ("points", "normals", "psr", "label"))
+        spd = max(1, min(spd, (256 << 20) // max(1, nbytes)))
+        spd_capped = True
     losses = []
     n_iter = ckpt_iter + 1
     t0 = time.time()
@@ -276,6 +288,8 @@ def run_training(config: dict, state: TrainState, train_step: Callable, *,
         return state
 
     while n_iter < n_iters:
+        epoch_start_iter = n_iter
+        epoch_start_pending = len(pending)
         for batch in loader:
             if n_iter + len(pending) >= n_iters:
                 break
@@ -287,6 +301,7 @@ def run_training(config: dict, state: TrainState, train_step: Callable, *,
                           flush=True)
                     warned_partial = True
                 continue
+            _cap_spd(batch)
             pending.append(batch)
             # clamp the chunk to the next checkpoint / end-of-run boundary so
             # save/eval cadence is identical to the per-step loop
@@ -296,6 +311,12 @@ def run_training(config: dict, state: TrainState, train_step: Callable, *,
                 state = _dispatch(state)
         if pending and n_iter + len(pending) >= n_iters:
             state = _dispatch(state)
+        if n_iter == epoch_start_iter and len(pending) == epoch_start_pending:
+            # a whole epoch yielded no usable batch (every batch smaller than
+            # the per-process batch size): erroring beats spinning forever
+            raise ValueError(
+                f"no full batches of {local_bs} in the dataset — "
+                f"batch_size exceeds the usable dataset size")
     if n_iter > ckpt_iter + 1 and n_iter % iters_per_ckpt != 0 and rank == 0:
         # the run ended off-cadence (max_iters cut, or iters_per_ckpt counts
         # skipped partial batches): persist the final state anyway so no
@@ -540,12 +561,16 @@ def maybe_fused_train_apply(pointnet_config: dict, n_points: int,
     if batch_size % n_dev != 0:
         return None
     local_b = batch_size // n_dev
-    # forward kernel: prefer the biggest tile that fits VMEM (bb=40 proven on
-    # v5e); the backward kernel is capped at 8 inside make_fused_train_fn
-    block_b = next((d for d in (40, 32, 16, 8, 4, 2, 1)
-                    if local_b % d == 0 and d <= local_b), None)
-    if block_b is None:
-        return None
+    # Mosaic accepts a batch tile that is a multiple of 8 (sublane floor) or
+    # equal to the whole per-device batch.  Prefer the biggest tile that fits
+    # VMEM (bb=40 proven on v5e); local batches not divisible by 8 can only
+    # run as ONE tile, which is VMEM-safe for the backward only when <= 8.
+    if local_b % 8 == 0:
+        block_b = next(d for d in (40, 32, 16, 8) if local_b % d == 0)
+    elif local_b <= 8:
+        block_b = local_b                     # single tile, both directions
+    else:
+        return None                           # e.g. 12, 20: no lowerable tile
     from slide_tpu.models.fused_denoiser import make_fused_train_fn
     return make_fused_train_fn(pointnet_config, n_points, block_b=block_b,
                                interpret=interpret, mesh=mesh)
