@@ -255,6 +255,11 @@ def run_training(config: dict, state: TrainState, train_step: Callable, *,
             jnp.arange(n_iter, n_iter + k, dtype=jnp.int32), repl)
         pending.clear()
         state, chunk_losses = step_fn(state, db, idx)
+        # bound in-flight dispatches: without a sync the async queue grows
+        # without backpressure and every queued chunk pins its host/device
+        # batch buffers (SAP's 200 MB psr super-batches OOM-killed the host
+        # after ~1400 iters).  One sync per K-step chunk costs ~ms.
+        jax.block_until_ready(chunk_losses)
         logged = [(n_iter + j) for j in range(k)
                   if (n_iter + j) % iters_per_logging == 0]
         if logged:
