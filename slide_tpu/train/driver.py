@@ -260,6 +260,14 @@ def run_training(config: dict, state: TrainState, train_step: Callable, *,
         # batch buffers (SAP's 200 MB psr super-batches OOM-killed the host
         # after ~1400 iters).  One sync per K-step chunk costs ~ms.
         jax.block_until_ready(chunk_losses)
+        # free the consumed super-batch deterministically — the remote-device
+        # runtime's staging copies otherwise accumulate (~67 MB/step with
+        # 128^3 psr grids) faster than GC reclaims them
+        for v in db.values():
+            try:
+                v.delete()
+            except Exception:                                # noqa: BLE001
+                pass
         logged = [(n_iter + j) for j in range(k)
                   if (n_iter + j) % iters_per_logging == 0]
         if logged:
