@@ -41,12 +41,17 @@ def emd_cd(sample_pcs, ref_pcs, f1_threshold: float = 0.001):
 
 
 @partial(jax.jit, static_argnames=("with_emd",))
-def _row_block(sample_one, ref_block, with_emd=True):
-    """(N, 3) vs (R, N, 3) -> (cd (R,), emd (R,))."""
-    s = jnp.broadcast_to(sample_one[None], ref_block.shape)
-    cd = _cd_t(s, ref_block)
-    emd = earth_mover_distance(s, ref_block) if with_emd else jnp.zeros_like(cd)
-    return cd, emd
+def _pair_block(sample_block, ref_block, with_emd=True):
+    """(S, N, 3) x (R, N, 3) -> (cd (S, R), emd (S, R)) — one dispatch per
+    SxR tile (per-row dispatches are latency-bound on remote devices)."""
+    def row(sample_one):
+        s = jnp.broadcast_to(sample_one[None], ref_block.shape)
+        cd = _cd_t(s, ref_block)
+        emd = earth_mover_distance(s, ref_block) if with_emd \
+            else jnp.zeros_like(cd)
+        return cd, emd
+
+    return jax.vmap(row)(sample_block)
 
 
 def pairwise_emd_cd(sample_pcs, ref_pcs, batch_size: int = 32,
@@ -60,14 +65,20 @@ def pairwise_emd_cd(sample_pcs, ref_pcs, batch_size: int = 32,
     n_s, n_r = sample_pcs.shape[0], ref_pcs.shape[0]
     all_cd = np.zeros((n_s, n_r), np.float32)
     all_emd = np.zeros((n_s, n_r), np.float32)
-    for i in range(n_s):
+    # tile the SAMPLE axis too (fewer, larger dispatches), bounded so the
+    # (S_blk, R_blk, N, N) distance intermediates stay comfortably in HBM
+    s_blk = max(1, min(n_s, batch_size,
+                       (1 << 28) // max(1, batch_size * sample_pcs.shape[1]
+                                        * ref_pcs.shape[1])))
+    for i in range(0, n_s, s_blk):
+        srows = sample_pcs[i:i + s_blk]
         for r0 in range(0, n_r, batch_size):
             block = ref_pcs[r0:r0 + batch_size]
-            cd, emd = _row_block(sample_pcs[i], block, with_emd)
-            all_cd[i, r0:r0 + block.shape[0]] = np.asarray(cd)
-            all_emd[i, r0:r0 + block.shape[0]] = np.asarray(emd)
-        if verbose and (i + 1) % 32 == 0:
-            print(f"pairwise metrics: {i + 1}/{n_s}", flush=True)
+            cd, emd = _pair_block(srows, block, with_emd)
+            all_cd[i:i + srows.shape[0], r0:r0 + block.shape[0]] = np.asarray(cd)
+            all_emd[i:i + srows.shape[0], r0:r0 + block.shape[0]] = np.asarray(emd)
+        if verbose:
+            print(f"pairwise metrics: {min(i + s_blk, n_s)}/{n_s}", flush=True)
     return all_cd, all_emd
 
 
