@@ -58,7 +58,10 @@ def _time_steps(step, state, batch, n_steps=20, warmup=True):
             return step(s, batch, jax.random.fold_in(key, i))
         return jax.lax.scan(body, state, idx)
 
-    jmany = jax.jit(many, donate_argnums=0)
+    # donation is skipped on the remote-tunnel backend (it forces buffer
+    # round-trips, ~4 s/call — same policy as run_training)
+    donate = (0,) if jax.default_backend() != "axon" else ()
+    jmany = jax.jit(many, donate_argnums=donate)
     idx = jnp.arange(n_steps, dtype=jnp.int32)
     state, loss = jmany(state, batch, idx)    # compile + warmup
     jax.block_until_ready(loss)
