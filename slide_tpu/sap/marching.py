@@ -109,7 +109,10 @@ def marching_tetrahedra(vol: np.ndarray, level: float = 0.0):
     available; vertex/face ORDER differs between backends (content agrees).
     """
     lib = _native_lib()
-    if lib is not None:
+    # the native pass allocates a perfect-dedup table of 28 bytes/voxel
+    # (~59 MB at 128^3 but ~3.8 GB at 512^3) — fall back to the numpy path
+    # (prefilter + hash-free unique) when that table would exceed ~1 GB
+    if lib is not None and int(np.prod(vol.shape)) * 28 <= (1 << 30):
         return _marching_tetrahedra_native(lib, vol, level)
     return marching_tetrahedra_numpy(vol, level)
 

@@ -79,19 +79,6 @@ def _build_tables():
 _TRI_T, _NTRI_T, _EBASE_T, _ECLS_T = _build_tables()
 
 
-def _gradient(vol):
-    """np.gradient equivalent: central differences, one-sided at borders."""
-    out = []
-    for ax in range(3):
-        a = jnp.moveaxis(vol, ax, 0)
-        interior = (a[2:] - a[:-2]) * 0.5
-        first = (a[1] - a[0])[None]
-        last = (a[-1] - a[-2])[None]
-        g = jnp.concatenate([first, interior, last], axis=0)
-        out.append(jnp.moveaxis(g, 0, ax))
-    return jnp.stack(out, axis=-1)                       # (r0,r1,r2,3)
-
-
 def _nth_true_indices(mask_flat, budget):
     """Indices of the first `budget` True entries of a flat bool mask
     (cumsum + searchsorted; gather-only, no scatters).  Returns (ids, count);
@@ -181,12 +168,27 @@ def marching_tetrahedra_device(vol, level=0.0, *, f_max: int = 262144,
     off = jnp.asarray(_CLASS_OFFSETS, jnp.float32)[c]
     pos = p0 + t[..., None] * off                        # (f_max, 3, 3)
 
-    grad = _gradient(vol).reshape(-1, 3)
+    # normals: -np.gradient(vol) at the rounded corner voxel — computed
+    # SPARSELY at the gathered positions (6 budget-sized gathers) instead of
+    # materializing the dense (grid, 3) gradient field; central differences
+    # in the interior, one-sided at borders (np.gradient parity)
     vi = jnp.clip(jnp.round(pos).astype(jnp.int32),
                   jnp.zeros((3,), jnp.int32),
                   jnp.asarray([r0 - 1, r1 - 1, r2 - 1], jnp.int32))
-    vlin = vi[..., 0] * (r1 * r2) + vi[..., 1] * r2 + vi[..., 2]
-    nrm = -grad[vlin]                                    # (f_max, 3, 3)
+    dims = (r0, r1, r2)
+    strides = (r1 * r2, r2, 1)
+    vlin = vi[..., 0] * strides[0] + vi[..., 1] * strides[1] + vi[..., 2]
+    g_axes = []
+    for ax in range(3):
+        up = jnp.minimum(vi[..., ax] + 1, dims[ax] - 1)
+        dn = jnp.maximum(vi[..., ax] - 1, 0)
+        lin_up = vlin + (up - vi[..., ax]) * strides[ax]
+        lin_dn = vlin + (dn - vi[..., ax]) * strides[ax]
+        span = (up - dn).astype(jnp.float32)             # 2 interior, 1 border
+        g_axes.append((flat[lin_up] - flat[lin_dn])
+                      / jnp.where(span < 1.0, 1.0, span))
+    grad_at = jnp.stack(g_axes, axis=-1)
+    nrm = -grad_at                                       # (f_max, 3, 3)
     nn = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
     nrm = nrm / jnp.where(nn < 1e-12, 1.0, nn)
 
@@ -250,6 +252,113 @@ def mc_from_psr_device(psr_grid_dev, real_scale: bool = False,
         return m
 
     return jax.lax.map(one, psr_grid_dev)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed extraction: cost proportional to the ACTUAL surface
+#
+# marching_tetrahedra_device pays O(c_max + f_max) regardless of surface
+# size; at conservative budgets that is ~10x the cost of the whole
+# generation chain.  The fix: a cheap O(grid) active-cell count first, then
+# dispatch each sample into the SMALLEST precompiled budget bucket that fits
+# it (one compile per bucket, cached).  Faces are bounded by 12 * cells;
+# measured pipeline grids run ~6 faces/cell (noisy worst case), so f_max =
+# 8 * c_max makes face overflow essentially impossible — the rare overflow
+# retries one bucket up (extraction content is budget-independent, only
+# padding grows).
+
+# (c_max, f_max) pairs, ascending (2x ladder — extraction cost is roughly
+# budget-linear, so a finer ladder keeps each sample within ~2x of its true
+# cost; each bucket compiles once and caches).  The largest bucket keeps the
+# old fixed-budget cell ceiling so behavior is never worse than before.
+DEFAULT_BUCKETS = tuple((c, 8 * c) for c in
+                        (4096, 8192, 16384, 32768, 65536, 131072, 262144))
+
+
+@jax.jit
+def count_active_cells(vol_b, level=0.0):
+    """(B, r0, r1, r2) -> (B,) int32 number of sign-crossing cells — the
+    bucket selector for `extract_and_sample_device`.  Bool any/all over the
+    8 shifted corner masks (no integer adds: ~2x lighter than the icount
+    form, this runs over the FULL batch grid)."""
+    vol_b = vol_b.astype(jnp.float32)
+    inside = vol_b > level
+    r0, r1, r2 = vol_b.shape[-3:]
+    any_in = jnp.zeros(vol_b.shape[:-3] + (r0 - 1, r1 - 1, r2 - 1), jnp.bool_)
+    all_in = jnp.ones(vol_b.shape[:-3] + (r0 - 1, r1 - 1, r2 - 1), jnp.bool_)
+    for dx, dy, dz in _CORNERS:
+        c = inside[..., dx:r0 - 1 + dx, dy:r1 - 1 + dy, dz:r2 - 1 + dz]
+        any_in = jnp.logical_or(any_in, c)
+        all_in = jnp.logical_and(all_in, c)
+    crossing = jnp.logical_and(any_in, jnp.logical_not(all_in))
+    return jnp.sum(crossing.reshape(vol_b.shape[0], -1), axis=-1,
+                   dtype=jnp.int32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_samples", "f_max", "c_max", "div"))
+def _extract_and_sample_one(vol, key, num_samples, f_max, c_max, div,
+                            zero_level=0.0):
+    m = marching_tetrahedra_device(vol, zero_level, f_max=f_max, c_max=c_max)
+    m["corner_pos"] = m["corner_pos"] / div
+    pts, nrm = sample_points_from_mesh_device(m, key, num_samples)
+    return pts, nrm, m["n_faces"], m["n_cells"]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_samples", "f_max", "c_max", "div"))
+def _extract_and_sample_indexed(grid_b, i, key, num_samples, f_max, c_max,
+                                div, zero_level=0.0):
+    """Same as _extract_and_sample_one but slices sample `i` INSIDE the jit
+    (i is a traced scalar): no eager slice op per sample (each eager op costs
+    tens of ms through a remote-device link), and one compiled executable
+    serves every sample of a bucket."""
+    vol = jax.lax.dynamic_index_in_dim(grid_b, i, axis=0, keepdims=False)
+    return _extract_and_sample_one(vol, jax.random.fold_in(key, i),
+                                   num_samples, f_max, c_max, div, zero_level)
+
+
+def extract_and_sample_device(psr_grid_dev, key, num_samples: int = 2048,
+                              *, real_scale: bool = False,
+                              zero_level: float = 0.0,
+                              buckets=DEFAULT_BUCKETS):
+    """Batched grid -> sampled surface clouds with per-sample budget buckets.
+
+    (B, r, r, r) device grid -> (points (B, S, 3), normals (B, S, 3),
+    n_faces (B,), n_cells (B,)) numpy.  Each sample runs in the smallest
+    bucket that fits its active-cell count; all extractions are dispatched
+    async and fetched together (one tunnel sync for the count, one for the
+    results).  Face-budget overflows retry one bucket up; a sample that
+    overflows the LARGEST bucket is returned as-is with n_faces > f_max so
+    callers can detect it (same contract as marching_tetrahedra_device).
+    Reference capability: `dpsr_utils/utils.py:246-287` + pytorch3d
+    `sample_points_from_meshes` (`dpsr_evaluation.py:310-327`)."""
+    b = psr_grid_dev.shape[0]
+    s = psr_grid_dev.shape[-1]
+    div = float((s - 1) if real_scale else s)
+    counts = np.asarray(count_active_cells(psr_grid_dev, zero_level))
+
+    def dispatch(i, bi):
+        c_max, f_max = buckets[bi]
+        return _extract_and_sample_indexed(psr_grid_dev, jnp.int32(i), key,
+                                           num_samples, f_max, c_max,
+                                           div, zero_level)
+
+    bucket_of = [next((j for j, (c, _) in enumerate(buckets) if counts[i] <= c),
+                      len(buckets) - 1) for i in range(b)]
+    pending = [dispatch(i, bucket_of[i]) for i in range(b)]     # async
+    pts = [None] * b
+    nrm = [None] * b
+    nf = np.zeros((b,), np.int32)
+    for i in range(b):
+        p, n, f, c = pending[i]
+        f = int(f)
+        while f > buckets[bucket_of[i]][1] and bucket_of[i] < len(buckets) - 1:
+            bucket_of[i] += 1                    # rare face-budget overflow
+            p, n, f, c = dispatch(i, bucket_of[i])
+            f = int(f)
+        pts[i], nrm[i], nf[i] = np.asarray(p), np.asarray(n), f
+    return (np.stack(pts), np.stack(nrm), nf, counts)
 
 
 def device_mesh_to_host(mesh_b: dict, index: int):

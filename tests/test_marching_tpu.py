@@ -86,3 +86,37 @@ def test_device_sampler_matches_host_statistics():
     np.testing.assert_allclose(np.asarray(pts_d).mean(0), pts_h.mean(0),
                                atol=0.15)
     assert np.all(np.abs(np.linalg.norm(np.asarray(nrm_d), axis=1) - 1) < 1e-4)
+
+
+def test_count_active_cells_matches_extraction():
+    from slide_tpu.sap.marching_tpu import count_active_cells
+
+    vols = np.stack([_noisy_sphere(seed=3), np.ones((20, 20, 20), np.float32)])
+    counts = np.asarray(count_active_cells(jnp.asarray(vols)))
+    m = marching_tetrahedra_device(jnp.asarray(vols[0]), 0.0,
+                                   f_max=32768, c_max=16384)
+    assert counts[0] == int(m["n_cells"])
+    assert counts[1] == 0
+
+
+def test_bucketed_extract_and_sample_matches_fixed_budget():
+    from slide_tpu.sap.marching_tpu import extract_and_sample_device
+
+    vols = np.stack([_noisy_sphere(seed=4), _noisy_sphere(seed=5, noise=0.0)])
+    grid = jnp.asarray(vols)
+    # tiny buckets force a retry path for the noisy sample (faces > 4*cells
+    # never happens, but c-bucket selection + padding-independence do)
+    buckets = ((64, 256), (4096, 16384), (16384, 65536))
+    pts, nrm, nf, nc = extract_and_sample_device(
+        grid, jax.random.key(7), 512, buckets=buckets)
+    assert pts.shape == (2, 512, 3) and nrm.shape == (2, 512, 3)
+    for i in range(2):
+        ref = marching_tetrahedra_device(jnp.asarray(vols[i]), 0.0,
+                                         f_max=65536, c_max=16384)
+        assert nf[i] == int(ref["n_faces"])        # content budget-independent
+        assert nc[i] == int(ref["n_cells"])
+        # sampled points lie on the [0,1)-scaled surface
+        c = 0.5 * (vols.shape[-1] - 1) / vols.shape[-1]
+        rad = np.linalg.norm(pts[i] - c, axis=1)
+        assert 0.2 < rad.mean() < 0.45
+    assert np.all(np.abs(np.linalg.norm(nrm.reshape(-1, 3), axis=1) - 1) < 1e-3)
