@@ -124,7 +124,12 @@ def cmd_generate(args):
                       point_feature_dim=3 + config["pointnet_config"]["in_fea_dim"],
                       rank=rank, world_size=world,
                       split_points_and_normals=True, seed=args.seed,
-                      visualize=not args.no_visualize)
+                      visualize=not args.no_visualize,
+                      sampler=args.sampler,
+                      fastdpm_kw={"length": args.fastdpm_s,
+                                  "sampling_method": args.fastdpm_method,
+                                  "schedule": args.fastdpm_schedule,
+                                  "kappa": args.fastdpm_kappa})
 
 
 def cmd_latent_generate(args):
@@ -157,6 +162,13 @@ def cmd_latent_generate(args):
         from slide_tpu.models.fused_denoiser import make_fused_net_fn
         fused = make_fused_net_fn(config["pointnet_config"], params, k)
 
+    sampler_kw = {}
+    if args.sampler == "fastdpm":
+        sampler_kw = {"sampler": "fastdpm",
+                      "fastdpm_kw": {"length": args.fastdpm_s,
+                                     "schedule": args.fastdpm_schedule,
+                                     "kappa": args.fastdpm_kappa}}
+
     def latent_sampler(key, label, keypoint, **resample_kw):
         def net_fn(x, ts):
             if fused is not None and fused.batch_ok(x.shape[0]):
@@ -169,7 +181,7 @@ def cmd_latent_generate(args):
 
         return latent_denoise_and_reconstruct(
             net_fn, decode_fn, key, label.shape[0], 3, (k, 3 + feat_dim),
-            sched, label=label, keypoint=keypoint, **resample_kw)
+            sched, label=label, keypoint=keypoint, **resample_kw, **sampler_kw)
 
     # partial shape editing: re-generate only masked keypoints' latents
     # (`mesh_evaluation.py:113-118`, `diffusion.py:352-359`)
@@ -398,12 +410,25 @@ def main(argv=None):
     sp.add_argument("--ae_ckpt", type=str, default=None)
     sp.set_defaults(fn=cmd_train)
 
+    def fastdpm_args(sp, methods=("var", "step")):
+        # accelerated sampling (BASELINE.md config 5; util_fastdpmv2.py)
+        sp.add_argument("--sampler", choices=("ddpm", "fastdpm"),
+                        default="ddpm")
+        sp.add_argument("--fastdpm_s", type=int, default=50,
+                        help="number of accelerated reverse steps")
+        sp.add_argument("--fastdpm_method", choices=methods,
+                        default=methods[-1])
+        sp.add_argument("--fastdpm_schedule", choices=("linear", "quadratic"),
+                        default="quadratic")
+        sp.add_argument("--fastdpm_kappa", type=float, default=1.0)
+
     sp = sub.add_parser("generate")
     common(sp, ckpt=True)
     sp.add_argument("--num_samples", type=int, default=None)
     sp.add_argument("--batch_size", type=int, default=None)
     sp.add_argument("--save_dir", default="ddpm_generated_point_clouds")
     sp.add_argument("--no_visualize", action="store_true")
+    fastdpm_args(sp)
     ranked(sp)
     sp.set_defaults(fn=cmd_generate)
 
@@ -420,6 +445,7 @@ def main(argv=None):
                          "(partial shape editing)")
     sp.add_argument("--save_keypoint_feature", action="store_true")
     sp.add_argument("--no_visualize", action="store_true")
+    fastdpm_args(sp, methods=("step",))   # x0 engine: STEP only (fastdpm.py)
     ranked(sp)
     sp.set_defaults(fn=cmd_latent_generate)
 

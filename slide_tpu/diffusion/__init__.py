@@ -18,6 +18,8 @@ from slide_tpu.diffusion.eps import (
 )
 from slide_tpu.diffusion.fastdpm import (
     fast_sampling,
+    fast_x0_denoise,
+    diffusion_config_of,
     get_var_noise,
     get_step_steps,
 )
@@ -34,7 +36,8 @@ from slide_tpu.diffusion.x0 import (
 __all__ = [
     "DiffusionSchedule", "calc_diffusion_hyperparams",
     "diffusion_training_loss", "diffusion_sampling",
-    "fast_sampling", "get_var_noise", "get_step_steps",
+    "fast_sampling", "fast_x0_denoise", "diffusion_config_of",
+    "get_var_noise", "get_step_steps",
     "get_beta_schedule", "X0Schedule", "x0_training_loss", "x0_denoise",
     "denoising_step", "diffuse", "diffuse_t_steps",
 ]

@@ -181,3 +181,71 @@ def fast_sampling(net_fn: Callable, key: jax.Array, shape: Sequence[int],
         return var_sampling(net_fn, key, shape, eta, csteps, kappa)
     steps = get_step_steps(length, diffusion_config, schedule)
     return step_sampling(net_fn, key, shape, sched, steps, kappa)
+
+
+def diffusion_config_of(sched: DiffusionSchedule) -> dict:
+    """Recover the {T, beta_0, beta_T} dict `fast_sampling` needs from a
+    linear-beta DiffusionSchedule (the only kind `calc_diffusion_hyperparams`
+    builds) — lets eval paths accept just the schedule object."""
+    beta = np.asarray(sched.beta, np.float64)
+    return {"T": sched.T, "beta_0": float(beta[0]), "beta_T": float(beta[-1])}
+
+
+def fast_x0_denoise(net_fn: Callable, key: jax.Array, shape: Sequence[int],
+                    sched, *, length: int = 50, schedule: str = "quadratic",
+                    kappa: float = 0.0, keypoint=None, keypoint_dim: int = 0):
+    """STEP-method accelerated reverse chain for the x0 ENGINE
+    (`diffusion_utils/diffusion.py:211-248` chain, subsampled the
+    `util_fastdpmv2.py:384-452` way).
+
+    The x0 engine's net still predicts epsilon (scaled by
+    model_output_scale_factor); each of the S steps forms the clipped x0
+    prediction exactly like `x0.predict_xstart` and takes the generalized
+    DDIM jump to the next selected timestep.  Works for ANY beta schedule in
+    the zoo because only alpha_bar at the selected steps enters (the VAR
+    method's bisection assumes the linear chain, so it is not offered here).
+    Keypoints are pinned before every net call and on the output, matching
+    `x0_denoise`.
+    """
+    from slide_tpu.diffusion.x0 import X0Schedule  # local: avoid import cycle
+
+    assert isinstance(sched, X0Schedule)
+    steps = sorted(get_step_steps(length, {"T": sched.T}, schedule),
+                   reverse=True)
+    alpha_bar = np.asarray(sched.alphas_cumprod, np.float64)
+    abar_cur = alpha_bar[steps]
+    abar_next = np.append(alpha_bar[steps[1:]], 1.0)
+    sigma = kappa * np.sqrt((1 - abar_next) / (1 - abar_cur)
+                            * (1 - abar_cur / abar_next))
+    sigma[-1] = 0.0
+    coefs = (jnp.asarray(steps, jnp.int32),
+             jnp.asarray(abar_cur, jnp.float32),
+             jnp.asarray(abar_next, jnp.float32),
+             jnp.asarray(sigma, jnp.float32))
+
+    shape = tuple(shape)
+    b = shape[0]
+    key, k0 = jax.random.split(key)
+    x = jax.random.normal(k0, shape)
+
+    def pin(x):
+        if keypoint is None:
+            return x
+        return jnp.concatenate([keypoint, x[..., keypoint_dim:]], axis=-1)
+
+    def step(carry, per_step):
+        x, key = carry
+        tau, a_cur, a_next, sg = per_step
+        x = pin(x)
+        eps = net_fn(x, jnp.full((b,), tau)) * sched.model_output_scale_factor
+        x0 = (x - jnp.sqrt(1.0 - a_cur) * eps) / jnp.sqrt(a_cur)
+        if sched.data_clamp_range > 0:
+            x0 = jnp.clip(x0, -sched.data_clamp_range, sched.data_clamp_range)
+        key, kz = jax.random.split(key)
+        c = jnp.sqrt(jnp.maximum(1.0 - a_next - sg ** 2, 0.0))
+        x = (jnp.sqrt(a_next) * x0 + c * eps
+             + sg * jax.random.normal(kz, x.shape))
+        return (x, key), None
+
+    (x, _), _ = lax.scan(step, (x, key), coefs)
+    return pin(x)

@@ -71,21 +71,40 @@ def latent_denoise_and_reconstruct(net_fn: Callable, decode_fn: Callable,
                                    curr_step: Optional[int] = None,
                                    n_steps: Optional[int] = None,
                                    local_resampling: bool = False,
-                                   complete_x0=None, keypoint_mask=None):
+                                   complete_x0=None, keypoint_mask=None,
+                                   sampler: str = "ddpm",
+                                   fastdpm_kw: Optional[dict] = None):
     """Reverse-diffuse the latent (keypoints pinned when conditional), then
     decode through the frozen AE (`diffusion.py:346-404`).
 
     decode_fn(keypoint, feature, label, key) -> (B, N, out) reconstruction.
     Returns (reconstruction, keypoint, keypoint_feature).
+
+    sampler="fastdpm" runs the S-step accelerated chain
+    (`fastdpm.fast_x0_denoise`; fastdpm_kw: length/schedule/kappa) instead of
+    the full T-step chain — incompatible with warm starts and local
+    resampling, which are tied to full-chain timesteps.
     """
     if local_resampling and keypoint is None:
         raise ValueError("local resampling is keypoint-conditional")
     key, k_chain, k_dec = jax.random.split(key, 3)
-    latent = x0_denoise(
-        net_fn, k_chain, (n,) + tuple(shape), sched, x=x, curr_step=curr_step,
-        n_steps=n_steps, keypoint=keypoint, keypoint_dim=keypoint_dim,
-        complete_x0=complete_x0 if local_resampling else None,
-        keypoint_mask=keypoint_mask if local_resampling else None)
+    if sampler == "fastdpm":
+        if local_resampling or x is not None or curr_step is not None:
+            raise ValueError("fastdpm sampling is full-chain-from-noise only")
+        from slide_tpu.diffusion.fastdpm import fast_x0_denoise
+        latent = fast_x0_denoise(
+            net_fn, k_chain, (n,) + tuple(shape), sched,
+            keypoint=keypoint, keypoint_dim=keypoint_dim,
+            **(fastdpm_kw or {}))
+    elif sampler != "ddpm":
+        raise ValueError(f"unknown sampler {sampler}")
+    else:
+        latent = x0_denoise(
+            net_fn, k_chain, (n,) + tuple(shape), sched, x=x,
+            curr_step=curr_step, n_steps=n_steps, keypoint=keypoint,
+            keypoint_dim=keypoint_dim,
+            complete_x0=complete_x0 if local_resampling else None,
+            keypoint_mask=keypoint_mask if local_resampling else None)
     kp = latent[..., :keypoint_dim]
     feat = latent[..., keypoint_dim:]
     recon = decode_fn(kp, feat, label, k_dec)

@@ -44,8 +44,16 @@ def evaluate_per_rank(net, params, trainset_config: dict, sched, save_dir: str,
                       visualize: bool = False, mesh=None,
                       custom_sampler: Optional[Callable] = None,
                       local_resampling: bool = False,
-                      complete_x0=None, keypoint_mask=None):
+                      complete_x0=None, keypoint_mask=None,
+                      sampler: str = "ddpm",
+                      fastdpm_kw: Optional[dict] = None):
     """Sample and write this rank's npz shard.
+
+    sampler="fastdpm" replaces the T-step eps chain with the S-step FastDPM
+    chain (`diffusion/fastdpm.py`; fastdpm_kw: length / sampling_method /
+    schedule / kappa) — BASELINE.md config 5's accelerated sharded
+    generation.  Latent tasks pass the sampler choice through their own
+    `latent_sampler` closure instead (see cli/main.py::cmd_latent_generate).
 
     latent_sampler, if given, replaces the eps-engine chain (latent diffusion
     tasks): latent_sampler(key, label, keypoint) ->
@@ -151,6 +159,14 @@ def evaluate_per_rank(net, params, trainset_config: dict, sched, save_dir: str,
             return net.apply({"params": params}, x, condition=condition,
                              ts=ts, label=label)
         b = label.shape[0]
+        if sampler == "fastdpm":
+            from slide_tpu.diffusion import diffusion_config_of, fast_sampling
+            return fast_sampling(net_fn, key,
+                                 (b, num_points, point_feature_dim), sched,
+                                 diffusion_config_of(sched),
+                                 **(fastdpm_kw or {}))
+        if sampler != "ddpm":
+            raise ValueError(f"unknown sampler {sampler}")
         return diffusion_sampling(net_fn, key, (b, num_points, point_feature_dim),
                                   sched)
 

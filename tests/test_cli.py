@@ -92,3 +92,18 @@ def test_normalize_point_cloud_modes():
     np.testing.assert_allclose(out.std(axis=1), 1, atol=1e-4)
     out2, _, _ = normalize_point_cloud(pts, normalize_per_shape=False)
     np.testing.assert_allclose(out2.reshape(-1, 3).mean(axis=0), 0, atol=1e-5)
+
+
+@pytest.mark.parametrize("method", ["var", "step"])
+def test_cli_generate_fastdpm(trained, tmp_path, method):
+    """--sampler fastdpm runs the S-step accelerated chain end-to-end."""
+    cfg_path, ckpt = trained
+    save = str(tmp_path / f"gen_fast_{method}")
+    main(["generate", "-c", cfg_path, "--ckpt", ckpt, "--ema_idx", "0",
+          "--num_samples", "8", "--batch_size", "8", "--save_dir", save,
+          "--no_visualize", "--sampler", "fastdpm", "--fastdpm_s", "5",
+          "--fastdpm_method", method, "--fastdpm_schedule", "linear"])
+    npz = [f for f in os.listdir(save) if f.endswith(".npz")]
+    with np.load(os.path.join(save, npz[0])) as d:
+        assert d["points"].shape == (8, 16, 3)
+        assert np.isfinite(d["points"]).all()

@@ -84,3 +84,76 @@ def test_fast_sampling_approaches_full_chain():
     want_std = 1.0 / np.sqrt(float(sched.alpha_bar[-1]))
     std = float(jnp.std(out1))
     assert abs(std - want_std) / want_std < 0.2, (std, want_std)
+
+
+def test_diffusion_config_of_roundtrip():
+    from slide_tpu.diffusion import diffusion_config_of
+    sched = calc_diffusion_hyperparams(**DC)
+    dc = diffusion_config_of(sched)
+    assert dc["T"] == DC["T"]
+    np.testing.assert_allclose(dc["beta_0"], DC["beta_0"], rtol=1e-6)
+    np.testing.assert_allclose(dc["beta_T"], DC["beta_T"], rtol=1e-6)
+
+
+def _x0_sched(t=200, clamp=3.0):
+    from slide_tpu.diffusion import X0Schedule
+    return X0Schedule.from_config({
+        "beta_schedule": "linear", "beta_start": 1e-4, "beta_end": 0.02,
+        "num_diffusion_timesteps": t, "data_clamp_range": clamp,
+        "model_output_scale_factor": 1.0})
+
+
+@pytest.mark.parametrize("kappa", [0.0, 1.0])
+def test_fast_x0_denoise_shapes_and_clamp(kappa):
+    from slide_tpu.diffusion import fast_x0_denoise
+    sched = _x0_sched()
+    net_fn = lambda x, ts: x * 0.05
+    out = fast_x0_denoise(net_fn, jax.random.key(0), (3, 16, 51), sched,
+                          length=8, schedule="quadratic", kappa=kappa)
+    assert out.shape == (3, 16, 51)
+    assert np.isfinite(np.asarray(out)).all()
+    # final step is a clamped x0 prediction -> obeys data_clamp_range
+    assert float(jnp.abs(out).max()) <= sched.data_clamp_range + 1e-5
+
+
+def test_fast_x0_denoise_pins_keypoints():
+    from slide_tpu.diffusion import fast_x0_denoise
+    sched = _x0_sched()
+    kp = jnp.broadcast_to(jnp.asarray([0.25, -0.5, 1.0]), (2, 16, 3))
+    seen = []
+    def net_fn(x, ts):
+        seen.append(x)
+        return jnp.zeros_like(x)
+    out = fast_x0_denoise(net_fn, jax.random.key(1), (2, 16, 51), sched,
+                          length=6, keypoint=kp, keypoint_dim=3)
+    np.testing.assert_allclose(np.asarray(out[..., :3]), np.asarray(kp))
+
+
+def test_fast_x0_denoise_matches_full_chain_statistics():
+    """Zero-eps net: S-step jumps and the T-step posterior chain both end at
+    x0 = clamp(x_T / sqrt(abar)); kappa=0 makes FastDPM deterministic."""
+    from slide_tpu.diffusion import fast_x0_denoise
+    sched = _x0_sched(clamp=100.0)
+    net_fn = lambda x, ts: jnp.zeros_like(x)
+    out = fast_x0_denoise(net_fn, jax.random.key(2), (4, 256, 3), sched,
+                          length=10, schedule="linear", kappa=0.0)
+    want_std = float(np.sqrt(1.0 / np.asarray(sched.alphas_cumprod)[-1]))
+    std = float(jnp.std(out))
+    assert abs(std - want_std) / want_std < 0.2, (std, want_std)
+
+
+def test_latent_reconstruct_fastdpm_sampler():
+    from slide_tpu.diffusion.latent import latent_denoise_and_reconstruct
+    sched = _x0_sched(t=50)
+    net_fn = lambda x, ts: x * 0.01
+    decode_fn = lambda kp, feat, lbl, kk: jnp.concatenate(
+        [kp, feat[..., :3]], axis=1)
+    kp = jnp.zeros((2, 16, 3))
+    recon, kp_out, feat = latent_denoise_and_reconstruct(
+        net_fn, decode_fn, jax.random.key(3), 2, 3, (16, 51), sched,
+        keypoint=kp, sampler="fastdpm", fastdpm_kw={"length": 5})
+    assert recon.shape[0] == 2 and feat.shape == (2, 16, 48)
+    with pytest.raises(ValueError, match="full-chain"):
+        latent_denoise_and_reconstruct(
+            net_fn, decode_fn, jax.random.key(3), 2, 3, (16, 51), sched,
+            keypoint=kp, sampler="fastdpm", curr_step=10)
