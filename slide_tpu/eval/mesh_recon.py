@@ -107,7 +107,8 @@ def reconstruct_meshes(net, params, dpsr, loader, pointnet_config, dpsr_config,
                        explicit_normalize: bool = False,
                        return_original_scale: bool = False,
                        label_number: Optional[int] = None,
-                       ae_fns=None, noise_magnitude: float = 0.0):
+                       ae_fns=None, noise_magnitude: float = 0.0,
+                       transfer_dtype="float16"):
     """Full reconstruction path; writes noisy/refined pcd PLYs, mesh PLYs,
     and (optionally) `points_sampled_from_mesh.npz` /
     `uniform_points_sampled_from_mesh.npz` with keys points/normals/label."""
@@ -160,8 +161,10 @@ def reconstruct_meshes(net, params, dpsr, loader, pointnet_config, dpsr_config,
         out = {k: [] for k in ("points", "normals", "uniform_points",
                                "uniform_normals", "label")}
         try:
-            # f16 on-device cast + per-sample transfer/extraction overlap
-            verts_l, faces_l, normals_l = mc_from_device_psr(grid)
+            # on-device cast + per-sample transfer/extraction overlap;
+            # transfer_dtype=None keeps f32 for bit-comparable extraction
+            verts_l, faces_l, normals_l = mc_from_device_psr(
+                grid, transfer_dtype=transfer_dtype)
         except ValueError as e:
             # batched mc_from_psr skips empties, but a SIZE-1 batch re-raises
             # (marching.py semantics) — skip the mesh, keep the run alive

@@ -58,13 +58,15 @@ def pairwise_emd_cd(sample_pcs, ref_pcs, batch_size: int = 32,
                     verbose: bool = False, with_emd: bool = True):
     """All-pairs CD and EMD matrices (N_sample, N_ref)
     (`_pairwise_EMD_CD_`, `evaluation_metrics.py:45-78`).  with_emd=False
-    skips the auction EMD (zeros) — at 2048-pt clouds the O(pairs) EMD is
-    days of device time; the reference protocol reports CD-only there too."""
+    skips the auction EMD and returns a NaN-FILLED EMD matrix (a caller that
+    forgets the flag fails loudly instead of reading 0.0 as a perfect
+    score)."""
     sample_pcs = jnp.asarray(sample_pcs)
     ref_pcs = jnp.asarray(ref_pcs)
     n_s, n_r = sample_pcs.shape[0], ref_pcs.shape[0]
     all_cd = np.zeros((n_s, n_r), np.float32)
-    all_emd = np.zeros((n_s, n_r), np.float32)
+    all_emd = np.full((n_s, n_r), np.nan, np.float32) if not with_emd \
+        else np.zeros((n_s, n_r), np.float32)
     # tile the SAMPLE axis too (fewer, larger dispatches), bounded so the
     # (S_blk, R_blk, N, N) distance intermediates stay comfortably in HBM
     s_blk = max(1, min(n_s, batch_size,
@@ -76,7 +78,9 @@ def pairwise_emd_cd(sample_pcs, ref_pcs, batch_size: int = 32,
             block = ref_pcs[r0:r0 + batch_size]
             cd, emd = _pair_block(srows, block, with_emd)
             all_cd[i:i + srows.shape[0], r0:r0 + block.shape[0]] = np.asarray(cd)
-            all_emd[i:i + srows.shape[0], r0:r0 + block.shape[0]] = np.asarray(emd)
+            if with_emd:
+                all_emd[i:i + srows.shape[0],
+                        r0:r0 + block.shape[0]] = np.asarray(emd)
         if verbose:
             print(f"pairwise metrics: {min(i + s_blk, n_s)}/{n_s}", flush=True)
     return all_cd, all_emd

@@ -555,6 +555,10 @@ def _pallas_forward(spec, inner, pc, t4, cls, block_b, interpret=False):
     from jax.experimental.pallas import tpu as pltpu
 
     b, n, din = pc.shape
+    if b % block_b != 0:
+        raise ValueError(
+            f"fused forward: batch {b} not divisible by block_b {block_b} — "
+            f"the trailing {b % block_b} rows would be left unwritten")
     leaves, treedef = jax.tree.flatten(inner)
 
     def kernel(pc_ref, t4_ref, cls_ref, *rest):
@@ -623,6 +627,10 @@ def _pallas_backward(spec, inner, pc, t4, cls, g, block_b, interpret=False):
     from jax.experimental.pallas import tpu as pltpu
 
     b, n, din = pc.shape
+    if b % block_b != 0:
+        raise ValueError(
+            f"fused backward: batch {b} not divisible by block_b {block_b} — "
+            f"the trailing {b % block_b} rows would yield garbage gradients")
     leaves, treedef = jax.tree.flatten(inner)
     nw = len(leaves)
 
