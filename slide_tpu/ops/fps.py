@@ -31,17 +31,6 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _use_pallas_fps() -> bool:
-    """Opt-in switch for the Pallas FPS kernel (env SLIDE_TPU_PALLAS_FPS=1).
-
-    Kept opt-in rather than automatic because a pallas_call inside a
-    pjit-sharded train step is not auto-partitionable — the default jnp scan
-    shards transparently with the batch; the kernel shines in single-chip
-    inference/eval paths with large K."""
-    import os
-    return os.environ.get("SLIDE_TPU_PALLAS_FPS", "0") == "1"
-
-
 def furthest_point_sample(xyz: jax.Array, k: int, start_idx=0, num_forced: int = 0):
     """Iterative max-min sampling of `k` points.
 
@@ -60,14 +49,10 @@ def furthest_point_sample(xyz: jax.Array, k: int, start_idx=0, num_forced: int =
     b, n, d = xyz.shape
     if k > n:
         raise ValueError(f"cannot sample {k} points from {n}")
-    # the opt-in dispatch lives OUTSIDE the jitted impl so toggling the env
-    # var is not defeated by the jit cache; the kernel only handles D == 3
-    # (the CUDA reference's contract) — other D fall through to the scan,
-    # which distances over all channels
-    if d == 3 and _use_pallas_fps():
-        from slide_tpu.ops.pallas.fps import fps_pallas, pallas_available
-        if pallas_available():
-            return fps_pallas(xyz, k, start_idx=start_idx, num_forced=num_forced)
+    # A dedicated Pallas FPS kernel existed through round 2 but was removed:
+    # on-device measurement put the scan at ~0.04 ms (B=200, 2048->16) — not
+    # a bottleneck anywhere — and a pallas_call inside a pjit-sharded train
+    # step is not auto-partitionable, while this scan shards transparently.
     return _fps_scan(xyz, k, start_idx, num_forced)
 
 
