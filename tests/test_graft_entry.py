@@ -30,7 +30,8 @@ def test_dryrun_multichip_with_tpu_platform_env():
     the dryrun forces the CPU platform before any backend use."""
     r = _run_dryrun({"JAX_PLATFORMS": "axon"})
     assert r.returncode == 0, f"stdout={r.stdout}\nstderr={r.stderr}"
-    assert "one sharded train step OK" in r.stdout
+    assert "sharded train steps OK" in r.stdout
+    assert "sharded generation OK" in r.stdout
 
 
 def test_dryrun_multichip_after_backend_init():
@@ -45,7 +46,8 @@ def test_dryrun_multichip_after_backend_init():
     r = subprocess.run([sys.executable, "-c", code], cwd=_REPO_ROOT, env=env,
                        capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, f"stdout={r.stdout}\nstderr={r.stderr}"
-    assert "one sharded train step OK" in r.stdout
+    assert "sharded train steps OK" in r.stdout
+    assert "sharded generation OK" in r.stdout
 
 
 def test_no_import_time_device_allocation():
