@@ -164,68 +164,154 @@ def bench_e2e(batch=16, t_steps=1000, rounds=2, stages=None):
 
 def bench_e2e_device_resident(stages, batch, rounds=3, num_samples=2048):
     """Steady-state meshes/sec with the ENTIRE pipeline device-resident:
-    generation -> SAP/DPSR -> marching tetrahedra (sap/marching_tpu.py) ->
-    area-weighted 2048-pt sampling all on the chip; only the sampled clouds
-    (24 KB/shape) cross the link.  This is the TPU-native production path —
-    PLY export (device_mesh_to_host) stays available per mesh on demand."""
+    generation -> SAP/DPSR -> marching tetrahedra -> area-weighted 2048-pt
+    sampling all on the chip; only the sampled clouds (24 KB/shape) cross
+    the link.  Extraction is BUCKETED (sap/marching_tpu.py): an on-device
+    active-cell count routes each sample into the smallest precompiled
+    budget bucket, so cost tracks the actual surface (round-2's fixed
+    524288-face budget burned ~9.4 s/batch; buckets run the same grids in
+    ~1.6 s).  PLY export (device_mesh_to_host) stays available on demand."""
     from benchmarks.e2e_pipeline import device_chain
-    from slide_tpu.sap.marching_tpu import (mc_from_psr_device,
-                                            sample_points_from_mesh_device)
+    from slide_tpu.sap.marching_tpu import (DEFAULT_BUCKETS,
+                                            extract_and_sample_device)
 
-    f_max, c_max = 524288, 262144
+    f_top = DEFAULT_BUCKETS[-1][1]
 
-    @jax.jit
-    def mesh_and_sample(grid, key):
-        out = mc_from_psr_device(grid, f_max=f_max, c_max=c_max)
-        keys = jax.random.split(key, batch)
-        pts, nrm = jax.vmap(
-            lambda m, k: sample_points_from_mesh_device(m, k, num_samples)
-        )(out, keys)
-        return pts, nrm, out["n_faces"], out["n_cells"]
-
-    def once(seed):
+    def once(seed, timing=None):
+        t0 = time.perf_counter()
         grid = device_chain(stages, jax.random.key(seed))
-        pts, nrm, nf, nc = mesh_and_sample(grid, jax.random.key(seed + 1))
-        return (np.asarray(pts), np.asarray(nrm), np.asarray(nf),
-                np.asarray(nc))
+        t1 = time.perf_counter()
+        pts, nrm, nf, nc = extract_and_sample_device(
+            grid, jax.random.key(seed + 1), num_samples)
+        t2 = time.perf_counter()
+        if timing is not None:
+            timing.append((t1 - t0, t2 - t1))
+        return pts, nrm, nf, nc
 
     once(300)                                  # compile + warmup
+    timing = []
     t0 = time.perf_counter()
     ok = overflow = 0
     for r in range(rounds):
-        pts, nrm, nf, nc = once(301 + r)
-        ok += int(np.sum((nf > 0) & (nf <= f_max) & (nc <= c_max)))
-        overflow += int(np.sum((nf > f_max) | (nc > c_max)))
+        pts, nrm, nf, nc = once(301 + r, timing)
+        ok += int(np.sum((nf > 0) & (nf <= f_top)))
+        overflow += int(np.sum(nf > f_top))
     wall = time.perf_counter() - t0
     return {"meshes_per_sec": rounds * batch / wall,
             "ok_meshes_per_sec": ok / wall, "overflow": overflow,
-            "wall_s": wall, "rounds": rounds}
+            "wall_s": wall, "rounds": rounds,
+            "chain_s_per_batch": float(np.mean([a for a, _ in timing])),
+            "extract_s_per_batch": float(np.mean([b for _, b in timing]))}
+
+
+# v5e peak dense bf16 matmul throughput (public spec), f32 at half
+V5E_PEAK_BF16 = 197e12
+
+
+def bench_stage_mfu(stages, batch):
+    """Per-stage device time + achieved FLOP/s vs the v5e bf16 peak, from the
+    compiled modules' cost_analysis — so 'fast' is judged against the chip,
+    not only against torch dispatch ceilings."""
+    key = jax.random.key(400)
+    kp = stages["sample_kp"](key)
+    lat = stages["sample_lat"](key, kp)
+    cloud = stages["decode"](lat[..., :3], lat[..., 3:], key)
+    jax.block_until_ready(cloud)
+
+    runs = {
+        "kp_chain": (stages["sample_kp"], (key,)),
+        "lat_chain": (stages["sample_lat"], (key, kp)),
+        "ae_decode": (stages["decode"], (lat[..., :3], lat[..., 3:], key)),
+        "sap_dpsr": (stages["sap"], (cloud, key)),
+    }
+    out = {}
+    for name, (fn, args) in runs.items():
+        jax.block_until_ready(fn(*args))
+        t0 = time.perf_counter()
+        reps = 2
+        for _ in range(reps):
+            r = fn(*args)
+        jax.block_until_ready(r)
+        dt = (time.perf_counter() - t0) / reps
+        entry = {"device_s": round(dt, 4)}
+        try:
+            cost = fn.lower(*args).compile().cost_analysis()
+            flops = float(cost.get("flops", 0.0))
+            entry["gflops"] = round(flops / 1e9, 2)
+            entry["achieved_tflops_per_sec"] = round(flops / dt / 1e12, 3)
+            entry["mfu_vs_v5e_bf16_peak"] = round(flops / dt / V5E_PEAK_BF16, 4)
+        except Exception:
+            pass
+        out[name] = entry
+    return out
+
+
+def bench_op_throughput(batch=32, n=2048):
+    """FPS + ball-query op throughput (BASELINE.json metric): points/sec
+    through the two hottest data-path primitives at AE-training shapes."""
+    from slide_tpu.ops import furthest_point_sample, ball_query
+
+    pts = jax.random.normal(jax.random.key(50), (batch, n, 3))
+    centers = pts[:, :512]
+
+    fps_fn = jax.jit(lambda p: furthest_point_sample(p, 1024))
+    bq_fn = jax.jit(lambda c, p: ball_query(c, p, radius=0.2, k=32)[0])
+
+    out = {}
+    for name, fn, args in (("fps_2048_to_1024", fps_fn, (pts,)),
+                           ("ball_query_512x2048_k32", bq_fn, (centers, pts))):
+        jax.block_until_ready(fn(*args))
+        t0 = time.perf_counter()
+        reps = 10
+        for _ in range(reps):
+            r = fn(*args)
+        jax.block_until_ready(r)
+        dt = (time.perf_counter() - t0) / reps
+        out[name + "_ms"] = round(dt * 1000, 3)
+        out[name + "_clouds_per_sec"] = round(batch / dt, 1)
+    return out
 
 
 def main():
     base = _load_baseline()
     on_accel = jax.default_backend() not in ("cpu",)
     t_steps = 1000 if on_accel else 20   # CPU fallback: smoke numbers only
+    fastdpm_s = 50 if on_accel else 5
     batch = 16
 
-    from benchmarks.e2e_pipeline import build_stages
+    from benchmarks.e2e_pipeline import build_stages, with_fastdpm
     stages = build_stages(batch, t_steps=t_steps, verbose=True)
     e2e = bench_e2e(batch=batch, t_steps=t_steps, stages=stages)
     dev = bench_e2e_device_resident(stages, batch)
+    # FastDPM STEP-S on BOTH DDPM chains, same nets/weights (quality drift
+    # vs T=1000 is measured in runs/convergence/report.json's fastdpm block)
+    fast = bench_e2e_device_resident(with_fastdpm(stages, fastdpm_s), batch)
     steps_per_sec = bench_denoise_steps(batch=200, t_steps=t_steps)
+    ops = bench_op_throughput()
+    mfu = bench_stage_mfu(stages, batch)
 
-    # reference A100 eager ceiling for the same e2e batch (see docstring)
+    # reference A100 eager ceiling for the same e2e batch (see docstring).
+    # The reference pays host mesh extraction too — charged at OUR measured
+    # host-marching cost; the SAME ceiling divides both endpoints so the two
+    # ratios are comparable (round-2 weak #8).
     disp_s = base["per_op_dispatch_us"] * 1e-6
-    ref_device_s = t_steps * (base["kp_net_aten_dispatches_per_forward"]
-                              + base["latent_net_aten_dispatches_per_forward"]) * disp_s
-    ref_total_s = ref_device_s + e2e["march_s_per_batch"]
+    per_fwd = (base["kp_net_aten_dispatches_per_forward"]
+               + base["latent_net_aten_dispatches_per_forward"])
+    ref_total_s = t_steps * per_fwd * disp_s + e2e["march_s_per_batch"]
     ref_meshes_per_sec = batch / ref_total_s
+    # fastdpm-equalized ceiling: pretend the reference ALSO ran S-step
+    # sampling (it ships util_fastdpmv2 but never wires it into eval) —
+    # the conservative denominator for the fastdpm line
+    ref_fast_total_s = fastdpm_s * per_fwd * disp_s + e2e["march_s_per_batch"]
+    ref_fast_meshes_per_sec = batch / ref_fast_total_s
 
     kp_ceiling = 1e6 / (base["kp_net_aten_dispatches_per_forward"]
                         * base["per_op_dispatch_us"])
 
-    # headline: the device-resident pipeline (generation -> mesh -> sampled
-    # cloud entirely on-chip; host PLY export measured separately)
+    # headline: the device-resident pipeline (generation -> bucketed mesh
+    # extraction -> sampled cloud entirely on-chip), full T=1000 protocol —
+    # the reference's own eval protocol (README.md:83-115).  The FastDPM
+    # production path is reported alongside with BOTH denominators.
     print(json.dumps({
         "metric": "e2e_meshes_per_sec_per_chip",
         "value": round(dev["meshes_per_sec"], 3),
@@ -233,19 +319,31 @@ def main():
         "vs_baseline": round(dev["meshes_per_sec"] / ref_meshes_per_sec, 2),
         "detail": {
             "batch": batch, "t_steps": t_steps,
-            "pipeline_endpoint": "device marching tetrahedra + 2048-pt "
-                                 "area-weighted sampling (marching_tpu.py); "
-                                 "only sampled clouds leave the chip",
+            "pipeline_endpoint": "device bucketed marching tetrahedra + "
+                                 "2048-pt area-weighted sampling "
+                                 "(marching_tpu.py); only sampled clouds "
+                                 "leave the chip",
             "device_resident_ok_meshes_per_sec": round(dev["ok_meshes_per_sec"], 3),
             "budget_overflows": dev["overflow"],
+            "device_chain_s_per_batch": round(dev["chain_s_per_batch"], 3),
+            "device_extract_s_per_batch": round(dev["extract_s_per_batch"], 3),
+            "fastdpm_s50_meshes_per_sec": round(fast["meshes_per_sec"], 3),
+            "fastdpm_s50_vs_ref_t1000": round(
+                fast["meshes_per_sec"] / ref_meshes_per_sec, 2),
+            "fastdpm_s50_vs_ref_fastdpm_equalized": round(
+                fast["meshes_per_sec"] / ref_fast_meshes_per_sec, 2),
             "host_export_meshes_per_sec": round(e2e["meshes_per_sec"], 3),
-            "host_export_nonempty_per_sec": round(e2e["nonempty_meshes_per_sec"], 3),
+            "host_export_vs_baseline": round(
+                e2e["meshes_per_sec"] / ref_meshes_per_sec, 2),
             "device_s_per_batch": round(e2e["device_s_per_batch"], 3),
             "host_march_s_per_batch": round(e2e["march_s_per_batch"], 3),
             "denoise_steps_per_sec_batch200": round(steps_per_sec, 2),
             "a100_eager_ceiling_steps_per_sec_kp": round(kp_ceiling, 1),
             "denoise_vs_a100_ceiling": round(steps_per_sec / kp_ceiling, 2),
             "ref_e2e_ceiling_meshes_per_sec": round(ref_meshes_per_sec, 3),
+            "ref_fastdpm_equalized_ceiling": round(ref_fast_meshes_per_sec, 3),
+            "op_throughput": ops,
+            "stage_mfu": mfu,
             "baseline_derivation": "benchmarks/reference_baseline.json "
                                    "(measured dispatch cost x counted aten ops; "
                                    "zero kernel time => upper bound)",

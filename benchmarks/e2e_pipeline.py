@@ -157,8 +157,14 @@ def build_stages(batch, t_steps=1000, fastdpm=0, ckpts=None, ema_idx=-1,
             return lat_fused(x, ts, label)
         return lat_net.apply(lat_vars, x, ts=ts, label=label)
 
-    sample_lat = jax.jit(lambda k, kp: x0_denoise(
-        lat_net_fn, k, (b, 16, 51), lat_sched, keypoint=kp, keypoint_dim=3))
+    if fastdpm > 0:
+        from slide_tpu.diffusion import fast_x0_denoise
+        sample_lat = jax.jit(lambda k, kp: fast_x0_denoise(
+            lat_net_fn, k, (b, 16, 51), lat_sched, length=fastdpm,
+            schedule="quadratic", kappa=0.5, keypoint=kp, keypoint_dim=3))
+    else:
+        sample_lat = jax.jit(lambda k, kp: x0_denoise(
+            lat_net_fn, k, (b, 16, 51), lat_sched, keypoint=kp, keypoint_dim=3))
 
     decode = jax.jit(lambda kp, feat, k: ae.apply(
         {"params": ae_vars["params"]}, kp, feat, label=label, method=ae.decode,
@@ -176,7 +182,32 @@ def build_stages(batch, t_steps=1000, fastdpm=0, ckpts=None, ema_idx=-1,
     sap = jax.jit(sap_fn)
 
     return {"sample_kp": sample_kp, "sample_lat": sample_lat, "decode": decode,
-            "sap": sap, "batch": b, "t_steps": t_steps}
+            "sap": sap, "batch": b, "t_steps": t_steps,
+            # kept so variants (with_fastdpm) can re-jit samplers without
+            # paying the multi-minute model re-init
+            "_kp_net_fn": kp_net_fn, "_lat_net_fn": lat_net_fn,
+            "_kp_sched": kp_sched, "_kp_dc": kp_cfg["diffusion_config"],
+            "_lat_sched": lat_sched}
+
+
+def with_fastdpm(stages, length: int, kappa: float = 0.5):
+    """Clone a built stage dict with BOTH DDPM chains swapped for S-step
+    FastDPM samplers (STEP x quadratic), reusing the already-initialized
+    nets/weights.  BASELINE.md config 5."""
+    from slide_tpu.diffusion import fast_sampling, fast_x0_denoise
+
+    b = stages["batch"]
+    out = dict(stages)
+    out["sample_kp"] = jax.jit(lambda k: fast_sampling(
+        stages["_kp_net_fn"], k, (b, 16, 3), stages["_kp_sched"],
+        stages["_kp_dc"], length=length, sampling_method="step",
+        schedule="quadratic", kappa=kappa))
+    out["sample_lat"] = jax.jit(lambda k, kp: fast_x0_denoise(
+        stages["_lat_net_fn"], k, (b, 16, 51), stages["_lat_sched"],
+        length=length, schedule="quadratic", kappa=kappa,
+        keypoint=kp, keypoint_dim=3))
+    out["t_steps"] = length
+    return out
 
 
 def device_chain(stages, key):

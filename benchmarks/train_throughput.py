@@ -47,10 +47,21 @@ def _cpu_init(fn, *args, **kwargs):
     return jax.device_put(out, jax.devices()[0])
 
 
+# v5e (TPU v5 lite) peak dense bf16 matmul throughput; f32 runs at half.
+# Source: public TPU v5e spec (197 TFLOP/s bf16 per chip).
+V5E_PEAK_BF16 = 197e12
+
+
 def _time_steps(step, state, batch, n_steps=20, warmup=True):
     """Steps/s measured the way run_training dispatches: K steps per jitted
     lax.scan call (steps_per_dispatch), so per-call host/tunnel latency is
-    amortized exactly as in production.  `step` is the UNJITTED train step."""
+    amortized exactly as in production.  `step` is the UNJITTED train step.
+
+    Returns (sec/step wall, loss, detail) where detail separates DEVICE
+    sec/step from per-dispatch overhead by timing scans of N and 2N steps
+    (device_per_step = (t_2N - t_N) / N; overhead = t_N - N * device_per_step)
+    and reports compiled-module FLOPs -> achieved FLOP/s and utilization
+    vs the v5e bf16 peak."""
     key = jax.random.key(7)
 
     def many(state, batch, idx):
@@ -62,14 +73,35 @@ def _time_steps(step, state, batch, n_steps=20, warmup=True):
     # round-trips, ~4 s/call — same policy as run_training)
     donate = (0,) if jax.default_backend() != "axon" else ()
     jmany = jax.jit(many, donate_argnums=donate)
-    idx = jnp.arange(n_steps, dtype=jnp.int32)
-    state, loss = jmany(state, batch, idx)    # compile + warmup
-    jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    state, loss = jmany(state, batch, idx)
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / n_steps
-    return dt, float(np.asarray(loss)[-1])
+
+    def run(n):
+        idx = jnp.arange(n, dtype=jnp.int32)
+        st, loss = jmany(state, batch, idx)    # compile + warmup
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        st, loss = jmany(state, batch, idx)
+        jax.block_until_ready(loss)
+        return time.perf_counter() - t0, loss
+
+    t_n, loss = run(n_steps)
+    t_2n, _ = run(2 * n_steps)
+    device_per_step = max(t_2n - t_n, 1e-9) / n_steps
+    overhead = max(t_n - n_steps * device_per_step, 0.0)
+    detail = {"device_sec_per_step": device_per_step,
+              "dispatch_overhead_sec": overhead}
+    try:
+        cost = jmany.lower(state, batch,
+                           jnp.arange(n_steps, dtype=jnp.int32)) \
+                    .compile().cost_analysis()
+        flops_per_step = float(cost.get("flops", 0.0)) / n_steps
+        detail["flops_per_step"] = flops_per_step
+        detail["achieved_flops_per_sec"] = flops_per_step / device_per_step
+        detail["mfu_vs_v5e_bf16_peak"] = (flops_per_step / device_per_step
+                                          / V5E_PEAK_BF16)
+    except Exception as e:                      # pragma: no cover
+        detail["cost_analysis_error"] = str(e)
+    dt = t_n / n_steps
+    return dt, float(np.asarray(loss)[-1]), detail
 
 
 def bench_kp(n_steps=20, fused=False):
@@ -106,9 +138,10 @@ def bench_kp(n_steps=20, fused=False):
     batch = {"points": jax.random.normal(jax.random.key(1), (b, npts, 3)),
              "normals": jax.random.normal(jax.random.key(2), (b, npts, 3)),
              "label": jnp.zeros((b,), jnp.int32)}
-    dt, loss = _time_steps(step, state, batch, n_steps)
+    dt, loss, detail = _time_steps(step, state, batch, n_steps)
     return {"workload": "kp_ddpm_train_b32" + ("_fused" if fused else ""),
-            "sec_per_step": dt, "steps_per_sec": 1 / dt, "loss": loss}
+            "sec_per_step": dt, "steps_per_sec": 1 / dt, "loss": loss,
+            **detail}
 
 
 def bench_lat(n_steps=20, fused=False):
@@ -151,9 +184,10 @@ def bench_lat(n_steps=20, fused=False):
     batch = {"points": jax.random.normal(jax.random.key(1), (b, npts, 3)),
              "normals": jax.random.normal(jax.random.key(2), (b, npts, 3)),
              "label": jnp.zeros((b,), jnp.int32)}
-    dt, loss = _time_steps(step, state, batch, n_steps)
+    dt, loss, detail = _time_steps(step, state, batch, n_steps)
     return {"workload": "latent_ddpm_train_b32" + ("_fused" if fused else ""),
-            "sec_per_step": dt, "steps_per_sec": 1 / dt, "loss": loss}
+            "sec_per_step": dt, "steps_per_sec": 1 / dt, "loss": loss,
+            **detail}
 
 
 def bench_ae(n_steps=10):
@@ -180,9 +214,9 @@ def bench_ae(n_steps=10):
     batch = {"points": jax.random.normal(jax.random.key(1), (b, npts, 3)),
              "normals": jax.random.normal(jax.random.key(2), (b, npts, 3)),
              "label": jnp.zeros((b,), jnp.int32)}
-    dt, loss = _time_steps(step, state, batch, n_steps)
+    dt, loss, detail = _time_steps(step, state, batch, n_steps)
     return {"workload": "ae_train_b32", "sec_per_step": dt,
-            "steps_per_sec": 1 / dt, "loss": loss}
+            "steps_per_sec": 1 / dt, "loss": loss, **detail}
 
 
 def bench_sap(n_steps=10):
@@ -212,14 +246,21 @@ def bench_sap(n_steps=10):
              "normals": jax.random.normal(jax.random.key(2), (b, npts, 3)),
              "psr": jax.random.normal(jax.random.key(3), (b, 128, 128, 128)),
              "label": jnp.zeros((b,), jnp.int32)}
-    dt, loss = _time_steps(step, state, batch, n_steps)
+    dt, loss, detail = _time_steps(step, state, batch, n_steps)
     return {"workload": "sap_train_b8", "sec_per_step": dt,
-            "steps_per_sec": 1 / dt, "loss": loss}
+            "steps_per_sec": 1 / dt, "loss": loss, **detail}
 
 
 BENCHES = {"kp": bench_kp, "lat": bench_lat, "ae": bench_ae, "sap": bench_sap,
            "kp_fused": lambda: bench_kp(fused=True),
-           "lat_fused": lambda: bench_lat(fused=True)}
+           }
+# No lat_fused row: the latent config's 256-512-wide stages exceed the v5e
+# VMEM budget for the fused BACKWARD at any lowerable batch tile
+# (driver.py::maybe_fused_train_apply gates on width), and the measured
+# fused-vs-flax TRAINING delta on the keypoint net is only ~7% (9.9 ->
+# 9.2 ms/step device) — sub-tiling the backward recompute across two kernel
+# passes is not worth that ceiling.  The fused kernel remains the default
+# for keypoint-scale training and ALL inference chains.
 
 
 def main():
@@ -228,7 +269,8 @@ def main():
     for name in names:
         print(f"--- {name}", flush=True)
         r = BENCHES[name]()
-        r = {k: round(v, 4) if isinstance(v, float) else v for k, v in r.items()}
+        r = {k: (round(v, 6) if isinstance(v, float) else v)
+             for k, v in r.items()}
         results[name] = r
         print(json.dumps(r), flush=True)
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
