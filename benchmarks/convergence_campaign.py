@@ -75,12 +75,19 @@ def _tune(cfg, exp_name, steps, *, batch_size=None, log_every=200):
         ts["batch_size"] = batch_size
     tc = cfg["train_config"]
     tc["root_directory"] = os.path.join(EXPS, exp_name)
-    # loader length with this corpus: n_models*2 cats / batch
-    n_batches = (MODELS_PER_SPLIT * len(SYNSETS)) // ts["batch_size"]
-    tc["n_epochs"] = int(np.ceil(steps / n_batches))
+    # run_training advances n_iter only on FULL batches (ragged tails are
+    # skipped) but sizes iters_per_ckpt from the ceil-based loader length —
+    # use each quantity with its own semantics so the cadence lands exactly
+    n_total = MODELS_PER_SPLIT * len(SYNSETS)
+    n_full = n_total // ts["batch_size"]            # advancing iters / epoch
+    loader_len = int(np.ceil(n_total / ts["batch_size"]))
+    tc["n_epochs"] = int(np.ceil(steps / n_full))
     # 4 checkpoints across the run, always one on the final iteration
-    tc["epochs_per_ckpt"] = max(1, steps // 4) / n_batches
+    tc["epochs_per_ckpt"] = max(1, steps // 4) / loader_len
     tc["iters_per_logging"] = log_every
+    # bf16 activations (f32 params/stats/distances — nn/precision.py): the
+    # AE/latent steps are HBM-bandwidth-bound (benchmarks/profile_ae.py)
+    tc["activation_dtype"] = "bfloat16"
     return cfg, steps
 
 
@@ -112,7 +119,7 @@ def stage_kp(steps=20000):
           f"loss {losses[0][1]:.4f} -> {losses[-1][1]:.4f}")
 
 
-def stage_ae(steps=6000):
+def stage_ae(steps=30000):
     from slide_tpu.configs import autoencoder_config
     from slide_tpu.train.driver import train_autoencoder
     cfg, steps = _tune(autoencoder_config(CATEGORIES[0]), "ae", steps)
@@ -122,7 +129,7 @@ def stage_ae(steps=6000):
           f"loss {losses[0][1]:.4f} -> {losses[-1][1]:.4f}")
 
 
-def stage_lat(steps=12000):
+def stage_lat(steps=30000):
     from slide_tpu.configs import latent_ddpm_config
     from slide_tpu.train.driver import train_latent_ddpm
     ckpt, path = _latest_ckpt(os.path.join(EXPS, "ae"))
@@ -135,7 +142,7 @@ def stage_lat(steps=12000):
           f"loss {losses[0][1]:.4f} -> {losses[-1][1]:.4f}")
 
 
-def stage_sap(steps=2000):
+def stage_sap(steps=10000):
     from slide_tpu.configs import upsampler_config
     from slide_tpu.train.driver import train_upsampler
     cfg = upsampler_config(batch_size=8)
@@ -145,10 +152,12 @@ def stage_sap(steps=2000):
     ts["repeat_dataset"] = 1
     tc = cfg["train_config"]
     tc["root_directory"] = os.path.join(EXPS, "sap")
-    n_batches = SAP_MODELS // ts["batch_size"]
-    tc["n_epochs"] = int(np.ceil(steps / n_batches))
-    tc["epochs_per_ckpt"] = max(1, steps // 2) / n_batches
+    n_full = SAP_MODELS // ts["batch_size"]         # advancing iters / epoch
+    loader_len = int(np.ceil(SAP_MODELS / ts["batch_size"]))
+    tc["n_epochs"] = int(np.ceil(steps / n_full))
+    tc["epochs_per_ckpt"] = max(1, steps // 2) / loader_len
     tc["iters_per_logging"] = 50
+    tc["activation_dtype"] = "bfloat16"     # see _tune
     ae_params = None
     try:
         ckpt, path = _latest_ckpt(os.path.join(EXPS, "ae"))
@@ -163,25 +172,38 @@ def stage_sap(steps=2000):
 
 
 def _test_clouds(n, npoints=2048):
-    """Held-out test-split clouds (points+normals) and labels."""
+    """Held-out test-split clouds (points, normals, labels)."""
     from slide_tpu.data.loader import get_dataloader
     ts = {"dataset": "shapenet_psr_dataset", "data_dir": DATA,
           "categories": list(SYNSETS), "npoints": npoints, "scale": 1,
           "batch_size": 40, "eval_batch_size": 40, "num_workers": 0,
           "num_keypoints": 16, "keypoints_source": "farthest_points_sampling"}
     loader = get_dataloader(ts, phase="test")
-    pts, lbl = [], []
+    pts, nrm, lbl = [], [], []
     for b in loader:
         pts.append(np.asarray(b["points"], np.float32))
+        nrm.append(np.asarray(b["normals"], np.float32))
         lbl.append(np.asarray(b["label"], np.int64))
         if sum(p.shape[0] for p in pts) >= n:
             break
-    return (np.concatenate(pts)[:n], np.concatenate(lbl)[:n])
+    return (np.concatenate(pts)[:n], np.concatenate(nrm)[:n],
+            np.concatenate(lbl)[:n])
 
 
-def stage_eval(n_samples=400, t_steps=1000, metric_points=2048):
+def stage_eval(n_samples=400, t_steps=1000, metric_points=2048,
+               with_emd=None, fastdpm_lengths=(50, 100)):
     """Generate n_samples through the trained pipeline and run the metric
-    suite at BOTH levels: keypoints (16 pts) and full clouds (2048 pts)."""
+    suite at BOTH levels: keypoints (16 pts) and full clouds (2048 pts).
+
+    Cloud-level EMD (1-NNA-EMD / MMD-EMD at 2048 pts, the reference's full
+    protocol `evaluation_metrics.py:129-157`) runs by default on
+    accelerators (with_emd=None -> auto); measured cost is ~min/suite, not
+    the "days" asserted in round 2 (benchmarks/probe_emd.py).
+
+    fastdpm_lengths: for each S, re-run BOTH DDPM chains with the S-step
+    FastDPM samplers (STEP x quadratic, kappa 0.5) and report the same
+    cloud-level metrics — the quality-drift check for the accelerated
+    production path (VERDICT r2 item 2)."""
     from slide_tpu.configs import (keypoint_ddpm_config, latent_ddpm_config,
                                    autoencoder_config)
     from slide_tpu.models import ConditionalPointNet2
@@ -217,20 +239,32 @@ def stage_eval(n_samples=400, t_steps=1000, metric_points=2048):
         return kp_net.apply({"params": kp_params}, x, ts=ts,
                             label=jnp.zeros((x.shape[0],), jnp.int32))
 
-    sample_kp = jax.jit(lambda k: diffusion_sampling(
-        kp_net_fn, k, (b, 16, 3), kp_sched))
+    def make_sample_kp(length=None):
+        """T-step DDPM chain, or the S-step FastDPM chain when `length`."""
+        if length:
+            from slide_tpu.diffusion import diffusion_config_of, fast_sampling
+            dc = diffusion_config_of(kp_sched)
+            return jax.jit(lambda k: fast_sampling(
+                kp_net_fn, k, (b, 16, 3), kp_sched, dc, length=length,
+                sampling_method="step", schedule="quadratic", kappa=0.5))
+        return jax.jit(lambda k: diffusion_sampling(
+            kp_net_fn, k, (b, 16, 3), kp_sched))
 
-    gen_kp = []
+    def gen_keypoints(sample_kp, key):
+        out = []
+        t0 = time.time()
+        for i in range(n_samples // b):
+            key, ks = jax.random.split(key)
+            out.append(np.asarray(jax.block_until_ready(sample_kp(ks))))
+        out = np.concatenate(out)
+        print(f"generated {out.shape[0]} keypoint sets in {time.time()-t0:.0f}s")
+        return out, key
+
     key = jax.random.key(97)
-    t0 = time.time()
-    for i in range(n_samples // b):
-        key, ks = jax.random.split(key)
-        gen_kp.append(np.asarray(jax.block_until_ready(sample_kp(ks))))
-    gen_kp = np.concatenate(gen_kp)
-    print(f"generated {gen_kp.shape[0]} keypoint sets in {time.time()-t0:.0f}s")
+    gen_kp, key = gen_keypoints(make_sample_kp(), key)
 
     # reference keypoints from held-out test clouds
-    test_pts, test_lbl = _test_clouds(n_samples)
+    test_pts, test_nrm, test_lbl = _test_clouds(n_samples)
     ref_kp = np.asarray(sample_keypoints(jnp.asarray(test_pts), 16,
                                          add_centroid=True)[0])
 
@@ -270,39 +304,88 @@ def stage_eval(n_samples=400, t_steps=1000, metric_points=2048):
         return ae.apply({"params": ae_params}, kp, feat, label=lbl,
                         method=ae.decode, rngs={"fps": kk})
 
-    def chain(k, kp, lbl):
-        def lat_net_fn(x, ts):
-            return lat_net.apply({"params": lat_params}, x, ts=ts, label=lbl)
+    def make_sample_cloud(length=None):
+        kw = {} if length is None else {
+            "sampler": "fastdpm",
+            "fastdpm_kw": {"length": length, "schedule": "quadratic",
+                           "kappa": 0.5}}
 
-        return latent_denoise_and_reconstruct(
-            lat_net_fn, decode_fn, k, lbl.shape[0], 3, (16, 3 + feat_dim),
-            lat_sched, label=lbl, keypoint=kp)
+        def chain(k, kp, lbl):
+            def lat_net_fn(x, ts):
+                return lat_net.apply({"params": lat_params}, x, ts=ts,
+                                     label=lbl)
 
-    sample_cloud = jax.jit(chain)
-    gen_clouds = []
-    t0 = time.time()
-    for i in range(n_samples // b):
-        key, ks = jax.random.split(key)
-        kp_i = jnp.asarray(gen_kp[i * b:(i + 1) * b])
-        lbl_i = jnp.zeros((b,), jnp.int32)
-        pts, _kp, _f = sample_cloud(ks, kp_i, lbl_i)
-        gen_clouds.append(np.asarray(jax.block_until_ready(pts))[..., :3])
-    gen_clouds = np.concatenate(gen_clouds)
-    print(f"decoded {gen_clouds.shape[0]} clouds in {time.time()-t0:.0f}s")
+            return latent_denoise_and_reconstruct(
+                lat_net_fn, decode_fn, k, lbl.shape[0], 3, (16, 3 + feat_dim),
+                lat_sched, label=lbl, keypoint=kp, **kw)
+
+        return jax.jit(chain)
+
+    def gen_clouds_from(sample_cloud, kp_all, key):
+        out = []
+        t0 = time.time()
+        for i in range(n_samples // b):
+            key, ks = jax.random.split(key)
+            kp_i = jnp.asarray(kp_all[i * b:(i + 1) * b])
+            lbl_i = jnp.zeros((b,), jnp.int32)
+            pts, _kp, _f = sample_cloud(ks, kp_i, lbl_i)
+            out.append(np.asarray(jax.block_until_ready(pts))[..., :3])
+        out = np.concatenate(out)
+        print(f"decoded {out.shape[0]} clouds in {time.time()-t0:.0f}s")
+        return out, key
 
     sub = min(metric_points, 2048)
-    t0 = time.time()
-    # CD family only at cloud scale — all-pairs auction EMD on 2048-pt
-    # clouds is days of device time (metrics.pairwise_emd_cd docstring)
-    m_cloud = compute_all_metrics(jnp.asarray(gen_clouds[:, :sub]),
-                                  jnp.asarray(test_pts[:, :sub]),
-                                  batch_size=25, with_emd=False)
-    m_cloud = {k: float(v) for k, v in m_cloud.items()}
-    m_cloud["jsd"] = float(jsd_between_point_cloud_sets(
-        gen_clouds[:, :sub], test_pts[:, :sub]))
-    print(f"cloud metrics in {time.time()-t0:.0f}s:", m_cloud)
-    report["cloud_level"] = m_cloud
+    if with_emd is None:     # auto: the measured suite cost is minutes on
+        with_emd = jax.default_backend() not in ("cpu",)   # the chip, days on CPU
+
+    def cloud_metrics(clouds):
+        t0 = time.time()
+        m = compute_all_metrics(jnp.asarray(clouds[:, :sub]),
+                                jnp.asarray(test_pts[:, :sub]),
+                                batch_size=25, with_emd=with_emd)
+        m = {k: float(v) for k, v in m.items()}
+        m["jsd"] = float(jsd_between_point_cloud_sets(
+            clouds[:, :sub], test_pts[:, :sub]))
+        print(f"cloud metrics (with_emd={with_emd}) "
+              f"in {time.time()-t0:.0f}s:", m)
+        return m
+
+    # ---- AE reconstruction diagnostic: encode+decode the TEST clouds and
+    # score them with the same suite.  Separates "the AE can't reconstruct"
+    # (recon 1-NN also flags) from "the latent samples are off-manifold"
+    # (recon healthy, generation flags) — the ambiguity VERDICT r2 weak #4
+    # said only more evidence could resolve.
+    enc_dec = jax.jit(lambda x, kp, lbl, k1, k2: decode_fn(
+        kp, ae.apply({"params": ae_params}, x, kp, label=lbl,
+                     method=ae.encode, rngs={"gaussian": k1}), lbl, k2))
+    from slide_tpu.ops import calc_cd
+    recon, rec_cd = [], []
+    cd_fn = jax.jit(lambda a, bb: calc_cd(a, bb)["cd_p"])
+    for i in range(n_samples // b):
+        sl = slice(i * b, (i + 1) * b)
+        key, k1, k2 = jax.random.split(key, 3)
+        x6 = jnp.concatenate([jnp.asarray(test_pts[sl]),
+                              jnp.asarray(test_nrm[sl])], axis=-1)
+        out = enc_dec(x6, jnp.asarray(ref_kp[sl]),
+                      jnp.zeros((b,), jnp.int32), k1, k2)[..., :3]
+        recon.append(np.asarray(out))
+        rec_cd.append(np.asarray(cd_fn(out, jnp.asarray(test_pts[sl]))))
+    recon = np.concatenate(recon)
+    report["ae_recon"] = {"mean_cd_p": float(np.concatenate(rec_cd).mean()),
+                          **cloud_metrics(recon)}
     _write(report)
+
+    gen_clouds, key = gen_clouds_from(make_sample_cloud(), gen_kp, key)
+    report["cloud_level"] = cloud_metrics(gen_clouds)
+    _write(report)
+
+    # ---- FastDPM quality drift: same nets/weights, S-step chains
+    for s in (fastdpm_lengths or ()):
+        print(f"--- fastdpm S={s}")
+        kp_s, key = gen_keypoints(make_sample_kp(s), key)
+        clouds_s, key = gen_clouds_from(make_sample_cloud(s), kp_s, key)
+        report[f"fastdpm_s{s}"] = cloud_metrics(clouds_s)
+        _write(report)
     return report
 
 

@@ -251,8 +251,22 @@ def bench_sap(n_steps=10):
             "steps_per_sec": 1 / dt, "loss": loss, **detail}
 
 
+def _bf16(fn):
+    """Same workload with bf16 activations (nn/precision.py) — the campaign's
+    training mode for the bandwidth-bound AE/SAP steps."""
+    def run():
+        from slide_tpu.nn.precision import activation_dtype_scope
+        with activation_dtype_scope("bfloat16"):
+            r = fn()
+        r["workload"] += "_bf16"
+        return r
+    return run
+
+
 BENCHES = {"kp": bench_kp, "lat": bench_lat, "ae": bench_ae, "sap": bench_sap,
            "kp_fused": lambda: bench_kp(fused=True),
+           "ae_bf16": _bf16(bench_ae),
+           "sap_bf16": _bf16(bench_sap),
            }
 # No lat_fused row: the latent config's 256-512-wide stages exceed the v5e
 # VMEM budget for the fused BACKWARD at any lowerable batch tile

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from slide_tpu.nn import precision as mp
+
 from slide_tpu.nn.layers import (InjectionMLP, TimestepEmbedder, get_activation,
                                  torch_kernel_init)
 from slide_tpu.nn.modules import SAModule, FPModule, KnnFPModule, FeatureMapModule
@@ -333,13 +335,13 @@ class ConditionalPointNet2(nn.Module):
                 head_in += self.dec_map_dim[0]
             self.head_in = head_in
             if hp["bn_first"]:
-                self.head_conv_out = nn.Dense(self.out_dim, kernel_init=torch_kernel_init)
+                self.head_conv_out = mp.Dense(self.out_dim, kernel_init=torch_kernel_init)
             else:
-                self.head_conv1 = nn.Dense(128, use_bias=hp["bias"],
+                self.head_conv1 = mp.Dense(128, use_bias=hp["bias"],
                                            kernel_init=torch_kernel_init)
                 if self.bn:
-                    self.head_norm = nn.GroupNorm(num_groups=32, epsilon=1e-5)
-                self.head_conv_out = nn.Dense(self.out_dim, kernel_init=torch_kernel_init)
+                    self.head_norm = mp.GroupNorm(num_groups=32, epsilon=1e-5)
+                self.head_conv_out = mp.Dense(self.out_dim, kernel_init=torch_kernel_init)
 
     # -------------------------------------------------------------------------
 

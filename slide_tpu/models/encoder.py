@@ -16,6 +16,8 @@ from typing import Any, Mapping
 import jax.numpy as jnp
 from flax import linen as nn
 
+from slide_tpu.nn import precision as mp
+
 from slide_tpu.models.denoiser import (_build_sa_stack, positional_encode,
                                        pos_encode_out_dim)
 from slide_tpu.nn.layers import TimestepEmbedder, torch_kernel_init
@@ -76,7 +78,7 @@ class PointNetEncoder(nn.Module):
 
         # dead-parameter parity: see module docstring
         if hp.get("transform_output", False):
-            self.head_conv = nn.Dense(hp["out_dim"], kernel_init=torch_kernel_init)
+            self.head_conv = mp.Dense(hp["out_dim"], kernel_init=torch_kernel_init)
 
     def __call__(self, pointcloud, ts=None, label=None):
         pc = pointcloud

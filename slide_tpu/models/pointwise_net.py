@@ -13,6 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from slide_tpu.nn import precision as mp
+
 from slide_tpu.nn.layers import torch_kernel_init
 from slide_tpu.nn.pnet import PNet2Stage
 
@@ -41,11 +43,11 @@ class ConcatSquashLinear(nn.Module):
 
     @nn.compact
     def __call__(self, ctx, x):
-        h = nn.Dense(self.dim_out, kernel_init=torch_kernel_init, name="layer")(x)
+        h = mp.Dense(self.dim_out, kernel_init=torch_kernel_init, name="layer")(x)
         gate = jax.nn.sigmoid(
-            nn.Dense(self.dim_out, kernel_init=torch_kernel_init,
+            mp.Dense(self.dim_out, kernel_init=torch_kernel_init,
                      name="hyper_gate")(ctx))
-        bias = nn.Dense(self.dim_out, use_bias=False,
+        bias = mp.Dense(self.dim_out, use_bias=False,
                         kernel_init=torch_kernel_init, name="hyper_bias")(ctx)
         return h * gate + bias
 

@@ -28,6 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from slide_tpu.nn import precision as mp
+
 from slide_tpu.nn.layers import swish, torch_kernel_init
 from slide_tpu.nn.neighborhood import query_and_group
 from slide_tpu.ops import (furthest_point_sample, gather_points, three_nn,
@@ -45,8 +47,8 @@ class PVSharedMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         for i, oc in enumerate(self.out_channels):
-            x = nn.Dense(oc, kernel_init=torch_kernel_init, name=f"conv_{i}")(x)
-            x = nn.GroupNorm(num_groups=8, epsilon=1e-5, name=f"norm_{i}")(x)
+            x = mp.Dense(oc, kernel_init=torch_kernel_init, name=f"conv_{i}")(x)
+            x = mp.GroupNorm(num_groups=8, epsilon=1e-5, name=f"norm_{i}")(x)
             x = swish(x)
         return x
 
@@ -61,14 +63,14 @@ class VoxelAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         # x: (B, M, C) flattened positions
-        q = nn.Dense(self.channels, kernel_init=torch_kernel_init, name="q")(x)
-        k = nn.Dense(self.channels, kernel_init=torch_kernel_init, name="k")(x)
-        v = nn.Dense(self.channels, kernel_init=torch_kernel_init, name="v")(x)
+        q = mp.Dense(self.channels, kernel_init=torch_kernel_init, name="q")(x)
+        k = mp.Dense(self.channels, kernel_init=torch_kernel_init, name="k")(x)
+        v = mp.Dense(self.channels, kernel_init=torch_kernel_init, name="v")(x)
         w = nn.softmax(jnp.einsum("bmc,bnc->bmn", q, k), axis=-1)
         h = jnp.einsum("bmn,bnc->bmc", w, v)
-        h = nn.Dense(self.channels, kernel_init=torch_kernel_init, name="out")(h)
+        h = mp.Dense(self.channels, kernel_init=torch_kernel_init, name="out")(h)
         x = h + x
-        x = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="norm")(x)
+        x = mp.GroupNorm(num_groups=8, epsilon=1e-5, name="norm")(x)
         return swish(x)
 
 
@@ -82,9 +84,9 @@ class SE3d(nn.Module):
     def __call__(self, grid):
         # grid: (B, R, R, R, C)
         s = jnp.mean(grid, axis=(1, 2, 3))
-        s = nn.Dense(self.channels // 4, kernel_init=torch_kernel_init)(s)
+        s = mp.Dense(self.channels // 4, kernel_init=torch_kernel_init)(s)
         s = nn.relu(s) if self.use_relu else swish(s)
-        s = jax.nn.sigmoid(nn.Dense(self.channels, kernel_init=torch_kernel_init)(s))
+        s = jax.nn.sigmoid(mp.Dense(self.channels, kernel_init=torch_kernel_init)(s))
         return grid * s[:, None, None, None, :]
 
 
@@ -104,13 +106,13 @@ class PVConv(nn.Module):
         grid = avg_voxelize(features, vox_coords, self.resolution)
         grid = nn.Conv(self.out_channels, (3, 3, 3), padding="SAME",
                        kernel_init=torch_kernel_init, name="vconv_1")(grid)
-        grid = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="vnorm_1")(grid)
+        grid = mp.GroupNorm(num_groups=8, epsilon=1e-5, name="vnorm_1")(grid)
         grid = swish(grid)
         if self.dropout is not None:
             grid = nn.Dropout(self.dropout, deterministic=deterministic)(grid)
         grid = nn.Conv(self.out_channels, (3, 3, 3), padding="SAME",
                        kernel_init=torch_kernel_init, name="vconv_2")(grid)
-        grid = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="vnorm_2")(grid)
+        grid = mp.GroupNorm(num_groups=8, epsilon=1e-5, name="vnorm_2")(grid)
         if self.attention:
             b, r = grid.shape[0], grid.shape[1]
             flat = grid.reshape(b, r ** 3, self.out_channels)
@@ -159,10 +161,10 @@ class PVCNN2(nn.Module):
         freqs = jnp.exp(np.arange(half) * -(np.log(10000.0) / (half - 1)))
         ang = ts.astype(jnp.float32)[:, None] * freqs[None]
         emb = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=1)
-        emb = nn.Dense(self.embed_dim, kernel_init=torch_kernel_init,
+        emb = mp.Dense(self.embed_dim, kernel_init=torch_kernel_init,
                        name="embedf_1")(emb)
         emb = jax.nn.leaky_relu(emb, negative_slope=0.1)
-        emb = nn.Dense(self.embed_dim, kernel_init=torch_kernel_init,
+        emb = mp.Dense(self.embed_dim, kernel_init=torch_kernel_init,
                        name="embedf_2")(emb)
         return emb
 
@@ -249,6 +251,6 @@ class PVCNN2(nn.Module):
 
         h = PVSharedMLP((128,), name="cls_mlp")(features)
         h = nn.Dropout(0.5, deterministic=deterministic)(h)
-        out = nn.Dense(self.out_dim, kernel_init=torch_kernel_init,
+        out = mp.Dense(self.out_dim, kernel_init=torch_kernel_init,
                        name="cls_out")(h)
         return out[:, :n1]

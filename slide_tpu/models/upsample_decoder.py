@@ -24,6 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from slide_tpu.nn import precision as mp
+
 from slide_tpu.models.denoiser import ConditionalPointNet2
 from slide_tpu.models.encoder import PointNetEncoder
 from slide_tpu.nn.distributions import DiagonalGaussian
@@ -144,7 +146,7 @@ class PointUpsampleDecoder(nn.Module):
         self.out_dim = hp["out_dim"]
         self.in_position_and_normal_dim = hp.get("in_position_and_normal_dim",
                                                  hp["out_dim"])
-        self.fc_layer = nn.Dense(int(self.out_dim * self.point_upsample_factor),
+        self.fc_layer = mp.Dense(int(self.out_dim * self.point_upsample_factor),
                                  kernel_init=torch_kernel_init, name="fc_layer")
 
     def _sample(self, parameters, sample_posterior):

@@ -9,6 +9,8 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from slide_tpu.nn import precision as mp
+
 from slide_tpu.nn.layers import TailGroupNorm, torch_kernel_init
 from slide_tpu.ops import count_to_mask
 
@@ -36,9 +38,9 @@ class AttentionPool(nn.Module):
         c2 = max(self.c_in2, 32)
         k = grouped_feat.shape[-2]
 
-        f1 = nn.Dense(c1, kernel_init=torch_kernel_init, name="feat_conv")(feat)
+        f1 = mp.Dense(c1, kernel_init=torch_kernel_init, name="feat_conv")(feat)
         f1 = jnp.broadcast_to(f1[:, :, None, :], f1.shape[:2] + (k, c1))
-        g1 = nn.Dense(c2, kernel_init=torch_kernel_init, name="grouped_feat_conv")(grouped_feat)
+        g1 = mp.Dense(c2, kernel_init=torch_kernel_init, name="grouped_feat_conv")(grouped_feat)
         total = jnp.concatenate([f1, g1], axis=-1)          # (B, M, K, c1+c2)
 
         inter = min(c1 + c2, self.c_out)
@@ -46,11 +48,11 @@ class AttentionPool(nn.Module):
         h = nn.relu(total)
         if self.attention_bn:
             h = TailGroupNorm(min(32, c1 + c2), c1 + c2, name="w_norm_1")(h)
-        h = nn.Dense(inter, kernel_init=torch_kernel_init, name="w_conv_1")(h)
+        h = mp.Dense(inter, kernel_init=torch_kernel_init, name="w_conv_1")(h)
         h = nn.relu(h)
         if self.attention_bn:
             h = TailGroupNorm(min(32, inter), inter, name="w_norm_2")(h)
-        scores = nn.Dense(self.c_out, kernel_init=torch_kernel_init, name="w_conv_2")(h)
+        scores = mp.Dense(self.c_out, kernel_init=torch_kernel_init, name="w_conv_2")(h)
 
         if not (isinstance(count, str) and count == "all"):
             mask = count_to_mask(jnp.maximum(count, 1), k)[..., None]  # (B, M, K, 1)
@@ -59,7 +61,7 @@ class AttentionPool(nn.Module):
 
         value = grouped_feat_out
         if self.transform_grouped_feat_out:
-            value = nn.Dense(self.c_out, kernel_init=torch_kernel_init,
+            value = mp.Dense(self.c_out, kernel_init=torch_kernel_init,
                              name="feat_out_conv")(value)
             if self.last_activation:
                 if self.attention_bn:
@@ -91,9 +93,9 @@ class GlobalAttention(nn.Module):
     @nn.compact
     def __call__(self, feat):
         # feat: (B, N, C + additional_dim)
-        key = nn.Dense(self.c, kernel_init=torch_kernel_init, name="key_conv")(feat)
-        query = nn.Dense(self.c, kernel_init=torch_kernel_init, name="query_conv")(feat)
-        value = nn.Dense(self.c, kernel_init=torch_kernel_init, name="value_conv")(feat)
+        key = mp.Dense(self.c, kernel_init=torch_kernel_init, name="key_conv")(feat)
+        query = mp.Dense(self.c, kernel_init=torch_kernel_init, name="query_conv")(feat)
+        value = mp.Dense(self.c, kernel_init=torch_kernel_init, name="value_conv")(feat)
         if self.last_activation:
             if self.attention_bn:
                 value = TailGroupNorm(min(32, self.c), self.c, name="value_norm")(value)
@@ -119,8 +121,8 @@ class GlobalAttention(nn.Module):
         h = nn.relu(pair)
         if self.attention_bn:
             h = TailGroupNorm(min(32, 2 * self.c), 2 * self.c, name="w_norm_1")(h)
-        h = nn.Dense(self.c, kernel_init=torch_kernel_init, name="w_conv_1")(h)
+        h = mp.Dense(self.c, kernel_init=torch_kernel_init, name="w_conv_1")(h)
         h = nn.relu(h)
         if self.attention_bn:
             h = TailGroupNorm(min(32, self.c), self.c, name="w_norm_2")(h)
-        return nn.Dense(self.c, kernel_init=torch_kernel_init, name="w_conv_2")(h)
+        return mp.Dense(self.c, kernel_init=torch_kernel_init, name="w_conv_2")(h)

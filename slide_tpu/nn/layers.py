@@ -14,6 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from slide_tpu.nn import precision as mp
+
 # Torch's Conv/Linear default init (kaiming_uniform with a=sqrt(5)) is
 # U(-1/sqrt(fan_in), 1/sqrt(fan_in)) == variance_scaling(1/3, fan_in, uniform).
 # We match the distribution so training dynamics are comparable; biases are
@@ -68,7 +70,7 @@ class TailGroupNorm(nn.Module):
         if x.shape[-1] != self.channels:
             raise ValueError(
                 f"TailGroupNorm built for {self.channels} channels, got {x.shape[-1]}")
-        gn = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5, name="group_norm")
+        gn = mp.GroupNorm(num_groups=self.num_groups, epsilon=1e-5, name="group_norm")
         if c_norm == self.channels:
             return gn(x)
         return jnp.concatenate([gn(x[..., :c_norm]), x[..., c_norm:]], axis=-1)
@@ -103,10 +105,10 @@ class SharedMLP(nn.Module):
                     x = TailGroupNorm(min(32, self.dims[i - 1]), self.dims[i - 1],
                                       name=f"norm_{i}")(x)
                 x = act(x)
-                x = nn.Dense(self.dims[i], use_bias=self.bias,
+                x = mp.Dense(self.dims[i], use_bias=self.bias,
                              kernel_init=torch_kernel_init, name=f"conv_{i}")(x)
             else:
-                x = nn.Dense(self.dims[i], use_bias=self.bias,
+                x = mp.Dense(self.dims[i], use_bias=self.bias,
                              kernel_init=torch_kernel_init, name=f"conv_{i}")(x)
                 if last and self.truncate_last:
                     continue
@@ -157,7 +159,7 @@ class InjectionMLP(nn.Module):
             raise ValueError("second condition requires mlp_spec of length >= 4")
 
         if self.first_conv:
-            feature = nn.Dense(spec[0], use_bias=self.bias,
+            feature = mp.Dense(spec[0], use_bias=self.bias,
                                kernel_init=torch_kernel_init, name="first_conv")(feature)
 
         mlp_kw = dict(bn=self.bn, bn_first=self.bn_first, bias=self.bias,
@@ -167,7 +169,7 @@ class InjectionMLP(nn.Module):
         if self.include_t:
             if t_emb is None:
                 raise ValueError("include_t module requires t_emb")
-            t1 = nn.Dense(spec[1], kernel_init=torch_kernel_init, name="fc_t")(t_emb)
+            t1 = mp.Dense(spec[1], kernel_init=torch_kernel_init, name="fc_t")(t_emb)
             h = h + _broadcast_emb(t1, h.ndim)
         elif t_emb is not None:
             raise ValueError("t_emb given to a module without include_t")
@@ -177,7 +179,7 @@ class InjectionMLP(nn.Module):
         if self.include_condition:
             if condition_emb is None:
                 raise ValueError("include_condition module requires condition_emb")
-            c1 = nn.Dense(spec[2], kernel_init=torch_kernel_init,
+            c1 = mp.Dense(spec[2], kernel_init=torch_kernel_init,
                           name="fc_condition")(condition_emb)
             h = h + _broadcast_emb(c1, h.ndim)
         elif condition_emb is not None:
@@ -189,7 +191,7 @@ class InjectionMLP(nn.Module):
         if self.include_second_condition:
             if second_condition_emb is None:
                 raise ValueError("include_second_condition module requires second_condition_emb")
-            c2 = nn.Dense(spec[-1], kernel_init=torch_kernel_init,
+            c2 = mp.Dense(spec[-1], kernel_init=torch_kernel_init,
                           name="fc_second_condition")(second_condition_emb)
             h = h + _broadcast_emb(c2, h.ndim)
         elif second_condition_emb is not None:
@@ -199,7 +201,7 @@ class InjectionMLP(nn.Module):
             if spec[0] == spec[-1]:
                 h = h + feature
             else:
-                h = h + nn.Dense(spec[-1], use_bias=self.bias,
+                h = h + mp.Dense(spec[-1], use_bias=self.bias,
                                  kernel_init=torch_kernel_init, name="res_conv")(feature)
         return h
 
@@ -213,7 +215,7 @@ class TimestepEmbedder(nn.Module):
     @nn.compact
     def __call__(self, ts):
         t = calc_t_emb(ts, self.t_dim)
-        t = nn.Dense(4 * self.t_dim, kernel_init=torch_kernel_init, name="fc_t1")(t)
+        t = mp.Dense(4 * self.t_dim, kernel_init=torch_kernel_init, name="fc_t1")(t)
         t = swish(t)
-        t = nn.Dense(4 * self.t_dim, kernel_init=torch_kernel_init, name="fc_t2")(t)
+        t = mp.Dense(4 * self.t_dim, kernel_init=torch_kernel_init, name="fc_t2")(t)
         return swish(t)

@@ -25,10 +25,37 @@ Semantics:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# Implementation switch.  "scan" is the lax.scan fallback (shards
+# transparently under pjit / virtual CPU meshes); "pallas" runs the whole
+# K-round loop VMEM-resident in one kernel (ops/pallas/fps.py — ~25x on the
+# autoencoder's 2048->1024 sampling, where per-round loop overhead dominates);
+# "auto" picks pallas on a SINGLE-device TPU process and scan everywhere else
+# (a pallas_call inside a pjit-sharded step is not auto-partitionable, so
+# multi-device processes keep the scan).
+_FPS_IMPL = os.environ.get("SLIDE_TPU_FPS", "auto").lower()
+
+
+def set_fps_impl(impl: str) -> None:
+    """impl: 'auto' (default), 'scan', or 'pallas'."""
+    global _FPS_IMPL
+    if impl not in ("auto", "scan", "pallas"):
+        raise ValueError(f"unknown FPS impl {impl!r}")
+    _FPS_IMPL = impl
+
+
+def _use_pallas() -> bool:
+    if _FPS_IMPL == "scan":
+        return False
+    from slide_tpu.ops.pallas import pallas_available
+    if _FPS_IMPL == "pallas":
+        return True
+    return pallas_available() and len(jax.devices()) == 1
 
 
 def furthest_point_sample(xyz: jax.Array, k: int, start_idx=0, num_forced: int = 0):
@@ -49,10 +76,12 @@ def furthest_point_sample(xyz: jax.Array, k: int, start_idx=0, num_forced: int =
     b, n, d = xyz.shape
     if k > n:
         raise ValueError(f"cannot sample {k} points from {n}")
-    # A dedicated Pallas FPS kernel existed through round 2 but was removed:
-    # on-device measurement put the scan at ~0.04 ms (B=200, 2048->16) — not
-    # a bottleneck anywhere — and a pallas_call inside a pjit-sharded train
-    # step is not auto-partitionable, while this scan shards transparently.
+    if _use_pallas():
+        from slide_tpu.ops.pallas import fps_pallas
+        # indices carry no tangents; sever the AD path so the kernel is not
+        # differentiated through (pallas_call has no JVP rule)
+        return fps_pallas(lax.stop_gradient(xyz), k, start_idx=start_idx,
+                          num_forced=num_forced)
     return _fps_scan(xyz, k, start_idx, num_forced)
 
 

@@ -29,6 +29,7 @@ from slide_tpu.diffusion.latent import latent_train_loss
 from slide_tpu.diffusion.x0 import X0Schedule
 from slide_tpu.models import ConditionalPointNet2, PointAutoencoder
 from slide_tpu.ops import sample_keypoints
+from slide_tpu.nn.precision import set_activation_dtype
 from slide_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from slide_tpu.train.ema import ema_init, ema_update
 
@@ -665,6 +666,16 @@ def _init_state(params, optimizer, ema_rates) -> TrainState:
                       ema=ema_init(params, ema_rates))
 
 
+def _apply_precision(train_config: dict) -> None:
+    """Honor `train_config["activation_dtype"]` ("bfloat16" halves the HBM
+    traffic of the bandwidth-bound AE/SAP steps — nn/precision.py; params,
+    optimizer state, norm statistics, and neighbor distances stay f32).
+    Must run before the step is built/traced; no reference counterpart
+    (the reference trains pure f32)."""
+    if "activation_dtype" in train_config:
+        set_activation_dtype(train_config["activation_dtype"])
+
+
 def train_position_ddpm(config: dict, *, data_dir: Optional[str] = None,
                         max_iters: Optional[int] = None,
                         mesh: Optional[Mesh] = None, seed: int = 0,
@@ -673,6 +684,7 @@ def train_position_ddpm(config: dict, *, data_dir: Optional[str] = None,
     """Train the position/point DDPM per `train_config` (reference
     `train.py`)."""
     train_config = config["train_config"]
+    _apply_precision(train_config)
     trainset_config = config["shapenet_psr_dataset_config"]
     task = train_config["task"]
     # x0 engine takes over when standard_diffusion_config is present
@@ -769,6 +781,7 @@ def train_autoencoder(config: dict, *, data_dir: Optional[str] = None,
     """Train the point autoencoder (reference `train_autoencoder.py:30-236`;
     no EMA there — honored unless config sets ema_rate)."""
     train_config = config["train_config"]
+    _apply_precision(train_config)
     trainset_config = config["shapenet_psr_dataset_config"]
     pc = config["pointnet_config"]
     ae = build_autoencoder(pc)
@@ -873,6 +886,7 @@ def train_upsampler(config: dict, *, ae_params=None,
     from slide_tpu.sap import DPSR
 
     train_config = config["train_config"]
+    _apply_precision(train_config)
     trainset_config = config["shapenet_psr_dataset_config"]
     pc = config["pointnet_config"]
     dpsr_config = config["dpsr_config"]
@@ -957,6 +971,7 @@ def train_latent_ddpm(config: dict, ae_params, *, data_dir: Optional[str] = None
     parameters; the AE structure comes from
     config['autoencoder_config']['pointnet_config']."""
     train_config = config["train_config"]
+    _apply_precision(train_config)
     trainset_config = config["shapenet_psr_dataset_config"]
     sdc = config["standard_diffusion_config"]
     sched = X0Schedule.from_config(sdc)
