@@ -41,6 +41,20 @@ def test_pallas_extra_channels_ignored():
         np.asarray(_fps_scan(pts[..., :3], 8)))
 
 
+@pytest.mark.parametrize("b,n,k", [(3, 2049, 16), (2, 129, 64), (5, 200, 33),
+                                   (4, 1000, 999), (1, 127, 13), (6, 333, 1)])
+def test_pallas_odd_shapes(b, n, k):
+    # odd / non-lane-aligned shapes (incl. the 2049-pt centroid-prepended
+    # keypoint cloud) — kernel logic is exact; the auto policy still routes
+    # unaligned N to the scan on hardware (see ops/fps.py::_use_pallas)
+    rng = np.random.default_rng(5)
+    pts = jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32))
+    starts = jnp.asarray(rng.integers(0, n, b).astype(np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(fps_pallas(pts, k, start_idx=starts, interpret=True)),
+        np.asarray(_fps_scan(pts, k, start_idx=starts)))
+
+
 def test_grad_flows_around_kernel():
     # the AE loss differentiates through gathers of FPS indices; the kernel
     # input must be stop_gradient-ed (pallas_call has no JVP rule) while the
