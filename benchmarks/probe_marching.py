@@ -25,6 +25,7 @@ except Exception:
 def main():
     from benchmarks.e2e_pipeline import build_stages, device_chain
     from slide_tpu.sap.marching_tpu import (count_active_cells,
+                                            count_cells_and_faces,
                                             extract_and_sample_device,
                                             _extract_and_sample_indexed,
                                             DEFAULT_BUCKETS)
@@ -68,6 +69,33 @@ def main():
         print(f"bucket c={c_max} f={f_max}: {dt*1000:.1f} ms/sample "
               f"(n_faces={nf})", file=sys.stderr)
 
+    # ---- cell-vs-face cost split: fixed c_max, sweep f_max (the per-budget
+    # linear model t ~ a + b*c_max + g*f_max falls out of these + the ladder)
+    split = {}
+    for c_max in (32768, 131072):
+        for f_max in (c_max // 2, c_max, 2 * c_max, 4 * c_max, 8 * c_max):
+            fn = lambda: _extract_and_sample_indexed(grid, jnp.int32(0),
+                                                     jax.random.key(0), 2048,
+                                                     f_max, c_max, 128.0)
+            jax.block_until_ready(fn())
+            t0 = time.perf_counter()
+            for _ in range(3):
+                out = fn()
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / 3
+            split[f"c{c_max}_f{f_max}"] = round(dt * 1000, 1)
+            print(f"split c={c_max} f={f_max}: {dt*1000:.1f} ms",
+                  file=sys.stderr)
+
+    # ---- dense cells+faces count cost
+    jax.block_until_ready(count_cells_and_faces(grid))
+    t0 = time.perf_counter()
+    cf = count_cells_and_faces(grid)
+    jax.block_until_ready(cf)
+    cf_s = time.perf_counter() - t0
+    print(f"cells+faces count dispatch+fetch {cf_s*1000:.0f} ms; "
+          f"faces {np.asarray(cf[1]).tolist()}", file=sys.stderr)
+
     # ---- full bucketed batch
     out = extract_and_sample_device(grid, jax.random.key(5), 2048)
     t0 = time.perf_counter()
@@ -101,6 +129,8 @@ def main():
         "chain_s": round(chain_s, 3), "count_ms": round(count_s * 1000, 1),
         "cells": counts.tolist(), "faces": nf.tolist(),
         "bucket_ms_per_sample": timings,
+        "split_ms": split,
+        "count_cells_faces_ms": round(cf_s * 1000, 1),
         "bucketed_batch_s": round(bucketed_s, 3),
         "fixed_batch_s": round(fixed_s, 3),
         "est_meshes_per_sec": round(batch / (chain_s + bucketed_s), 2),

@@ -274,6 +274,11 @@ def mc_from_psr_device(psr_grid_dev, real_scale: bool = False,
 DEFAULT_BUCKETS = tuple((c, 8 * c) for c in
                         (4096, 8192, 16384, 32768, 65536, 131072, 262144))
 
+# face-budget ladder for the geometry phase, chosen from the EXACT dense
+# triangle count (count_cells_and_faces) — decoupled from the cell ladder so
+# clean surfaces (~2 faces/cell) don't pay the 8*c_max worst-case padding
+FACE_BUCKETS = tuple(8192 * 2 ** k for k in range(9))     # 8k .. 2M
+
 
 @jax.jit
 def count_active_cells(vol_b, level=0.0):
@@ -293,6 +298,43 @@ def count_active_cells(vol_b, level=0.0):
     crossing = jnp.logical_and(any_in, jnp.logical_not(all_in))
     return jnp.sum(crossing.reshape(vol_b.shape[0], -1), axis=-1,
                    dtype=jnp.int32)
+
+
+@jax.jit
+def count_cells_and_faces(vol_b, level=0.0):
+    """(B, r0, r1, r2) -> (cells (B,), faces (B,)) int32.
+
+    `faces` is the EXACT triangle count `marching_tetrahedra_device` emits
+    (per-tet case -> triangle-count table, summed densely over the grid) —
+    dense vectorized VPU work over the full grid, so it costs about as much
+    as the cell count but lets the face budget of the geometry phase be
+    sized to the ACTUAL surface instead of the conservative 8*c_max bound
+    (typical surfaces emit ~2 faces/cell; the padded geometry phase is
+    budget-linear, so exact sizing cuts it ~4x)."""
+    vol_b = vol_b.astype(jnp.float32)
+    inside = vol_b > level
+    r0, r1, r2 = vol_b.shape[-3:]
+    cshape = vol_b.shape[:-3] + (r0 - 1, r1 - 1, r2 - 1)
+    corner = [inside[..., dx:r0 - 1 + dx, dy:r1 - 1 + dy, dz:r2 - 1 + dz]
+              for dx, dy, dz in _CORNERS]                 # 8 x (B, c-grid)
+    any_in = jnp.zeros(cshape, jnp.bool_)
+    all_in = jnp.ones(cshape, jnp.bool_)
+    for c in corner:
+        any_in = jnp.logical_or(any_in, c)
+        all_in = jnp.logical_and(all_in, c)
+    crossing = jnp.logical_and(any_in, jnp.logical_not(all_in))
+    cells = jnp.sum(crossing.reshape(vol_b.shape[0], -1), axis=-1,
+                    dtype=jnp.int32)
+    # non-crossing cells land on cases 0/15 whose triangle count is 0, so no
+    # crossing mask is needed for the face total
+    ntri_t = jnp.asarray(_NTRI_T)
+    faces = jnp.zeros((vol_b.shape[0],), jnp.int32)
+    for t in range(6):
+        case = sum(jnp.where(corner[_TETS[t][j]], jnp.int32(1 << j),
+                             jnp.int32(0)) for j in range(4))
+        faces = faces + jnp.sum(ntri_t[case].reshape(vol_b.shape[0], -1),
+                                axis=-1, dtype=jnp.int32)
+    return cells, faces
 
 
 @functools.partial(jax.jit,
@@ -336,26 +378,35 @@ def extract_and_sample_device(psr_grid_dev, key, num_samples: int = 2048,
     b = psr_grid_dev.shape[0]
     s = psr_grid_dev.shape[-1]
     div = float((s - 1) if real_scale else s)
-    counts = np.asarray(count_active_cells(psr_grid_dev, zero_level))
+    counts, face_counts = (np.asarray(a) for a in
+                           count_cells_and_faces(psr_grid_dev, zero_level))
 
-    def dispatch(i, bi):
-        c_max, f_max = buckets[bi]
+    def dispatch(i, bi, fi):
+        c_max = buckets[bi][0]
+        f_max = FACE_BUCKETS[fi]
         return _extract_and_sample_indexed(psr_grid_dev, jnp.int32(i), key,
                                            num_samples, f_max, c_max,
                                            div, zero_level)
 
     bucket_of = [next((j for j, (c, _) in enumerate(buckets) if counts[i] <= c),
                       len(buckets) - 1) for i in range(b)]
-    pending = [dispatch(i, bucket_of[i]) for i in range(b)]     # async
+    # exact face sizing: the dense count IS the emitted count whenever the
+    # cell budget fits, so no slack is needed; the retry loop below stays as
+    # a safety net for cell-overflowed samples
+    fbucket_of = [next((j for j, f in enumerate(FACE_BUCKETS)
+                        if face_counts[i] <= f), len(FACE_BUCKETS) - 1)
+                  for i in range(b)]
+    pending = [dispatch(i, bucket_of[i], fbucket_of[i]) for i in range(b)]
     pts = [None] * b
     nrm = [None] * b
     nf = np.zeros((b,), np.int32)
     for i in range(b):
         p, n, f, c = pending[i]
         f = int(f)
-        while f > buckets[bucket_of[i]][1] and bucket_of[i] < len(buckets) - 1:
-            bucket_of[i] += 1                    # rare face-budget overflow
-            p, n, f, c = dispatch(i, bucket_of[i])
+        while (f > FACE_BUCKETS[fbucket_of[i]]
+               and fbucket_of[i] < len(FACE_BUCKETS) - 1):
+            fbucket_of[i] += 1                   # rare face-budget overflow
+            p, n, f, c = dispatch(i, bucket_of[i], fbucket_of[i])
             f = int(f)
         pts[i], nrm[i], nf[i] = np.asarray(p), np.asarray(n), f
     return (np.stack(pts), np.stack(nrm), nf, counts)

@@ -99,6 +99,32 @@ def test_count_active_cells_matches_extraction():
     assert counts[1] == 0
 
 
+def test_count_cells_and_faces_exact():
+    from slide_tpu.sap.marching_tpu import count_cells_and_faces
+
+    vols = np.stack([_noisy_sphere(seed=6), _noisy_sphere(seed=7, noise=0.0),
+                     np.full((20, 20, 20), -1.0, np.float32)])
+    cells, faces = (np.asarray(a) for a in
+                    count_cells_and_faces(jnp.asarray(vols)))
+    for i in range(2):
+        m = marching_tetrahedra_device(jnp.asarray(vols[i]), 0.0,
+                                       f_max=65536, c_max=16384)
+        assert cells[i] == int(m["n_cells"])
+        assert faces[i] == int(m["n_faces"])      # exact dense triangle count
+    assert cells[2] == 0 and faces[2] == 0
+
+
+def test_count_cells_and_faces_nonzero_level():
+    from slide_tpu.sap.marching_tpu import count_cells_and_faces
+
+    vol = _noisy_sphere(seed=8)
+    cells, faces = (np.asarray(a) for a in
+                    count_cells_and_faces(jnp.asarray(vol)[None], 0.07))
+    m = marching_tetrahedra_device(jnp.asarray(vol), 0.07,
+                                   f_max=65536, c_max=16384)
+    assert cells[0] == int(m["n_cells"]) and faces[0] == int(m["n_faces"])
+
+
 def test_bucketed_extract_and_sample_matches_fixed_budget():
     from slide_tpu.sap.marching_tpu import extract_and_sample_device
 
