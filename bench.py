@@ -272,7 +272,36 @@ def bench_op_throughput(batch=32, n=2048):
     return out
 
 
+def _probe_backend(timeout_s=240):
+    """The remote-tunnel backend retries forever when its relay is down; a
+    dead relay would hang the whole bench.  Probe device init in a daemon
+    thread and emit an explanatory JSON line instead of hanging."""
+    got = {}
+
+    def probe():
+        try:
+            got["devices"] = jax.devices()
+        except Exception as e:                     # pragma: no cover
+            got["error"] = repr(e)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "devices" in got:
+        return True
+    print(json.dumps({
+        "metric": "e2e_meshes_per_sec_per_chip", "value": 0.0,
+        "unit": "meshes/s", "vs_baseline": 0.0,
+        "detail": {"error": "accelerator backend unreachable "
+                            f"({got.get('error', 'device init timed out — '
+                            'tunnel relay down')}); see ROUND3.md "
+                            "infrastructure note"}}))
+    return False
+
+
 def main():
+    if not _probe_backend():
+        os._exit(2)
     base = _load_baseline()
     on_accel = jax.default_backend() not in ("cpu",)
     t_steps = 1000 if on_accel else 20   # CPU fallback: smoke numbers only
