@@ -106,6 +106,33 @@ def main():
                                            rngs={"fps": k}))
     res["decode_s"] = timeit(lambda: dec(params, feat, jax.random.key(11)))
 
+    # grad (forward + backward, no optimizer): isolates the backward residual
+    jg = jax.jit(jax.grad(fwd_loss))
+    res["grad_s"] = timeit(lambda: jg(params, jax.random.key(8)))
+    c = jg.lower(params, jax.random.key(8)).compile().cost_analysis()
+    res["grad_gflops"] = float(c.get("flops", 0)) / 1e9
+    res["grad_gbytes"] = float(c.get("bytes accessed", 0)) / 1e9
+    res["bwd_only_est_s"] = res["grad_s"] - res["fwd_loss_s"]
+
+    # scatter microprobe: grad of a group_points chain (scatter-add backward)
+    # vs a same-traffic dense matmul control — quantifies TPU scatter cost
+    from slide_tpu.ops import group_points
+    idx = jax.random.randint(jax.random.key(13), (b, 1024, 32), 0, npts)
+    feats = jax.random.normal(jax.random.key(14), (b, npts, 32))
+
+    def gp_loss(f):
+        return jnp.sum(group_points(f, idx) ** 2)
+
+    jgp = jax.jit(jax.grad(gp_loss))
+    res["scatter_grad_group1024x32_s"] = timeit(lambda: jgp(feats))
+    wmat = jax.random.normal(jax.random.key(15), (b, 1024 * 32, npts))
+
+    def mm_loss(f):
+        return jnp.sum(jnp.einsum("bmn,bnc->bmc", wmat, f) ** 2)
+
+    jmm = jax.jit(jax.grad(mm_loss))
+    res["dense_grad_control_s"] = timeit(lambda: jmm(feats))
+
     # chamfer at 2048 (per-level losses run at several sizes; this is the max)
     y = jax.random.normal(jax.random.key(12), (b, npts, 6))
     cd = jax.jit(lambda a, bb: calc_cd(a, bb)["cd_p"].mean())
