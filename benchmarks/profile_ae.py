@@ -125,6 +125,19 @@ def main():
 
     jgp = jax.jit(jax.grad(gp_loss))
     res["scatter_grad_group1024x32_s"] = timeit(lambda: jgp(feats))
+
+    # same chain with the sort+prefix-sum backward (ops/grouping.py)
+    from slide_tpu.ops.grouping import set_scatter_free_grad
+    prev = set_scatter_free_grad(True)
+    try:
+        jgp_sf = jax.jit(jax.grad(lambda f: jnp.sum(group_points(f, idx) ** 2)))
+        res["scatterfree_grad_group1024x32_s"] = timeit(lambda: jgp_sf(feats))
+        # and the full AE step end-to-end with it on
+        step_sf = jax.jit(make_ae_train_step(ae, optimizer, rates, ts_cfg))
+        res["train_step_scatterfree_s"] = timeit(
+            lambda: step_sf(state, batch, jax.random.key(7)))
+    finally:
+        set_scatter_free_grad(prev)
     wmat = jax.random.normal(jax.random.key(15), (b, 1024 * 32, npts))
 
     def mm_loss(f):
