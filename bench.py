@@ -172,10 +172,11 @@ def bench_e2e_device_resident(stages, batch, rounds=3, num_samples=2048):
     524288-face budget burned ~9.4 s/batch; buckets run the same grids in
     ~1.6 s).  PLY export (device_mesh_to_host) stays available on demand."""
     from benchmarks.e2e_pipeline import device_chain
-    from slide_tpu.sap.marching_tpu import (DEFAULT_BUCKETS,
+    from slide_tpu.sap.marching_tpu import (DEFAULT_BUCKETS, FACE_BUCKETS,
                                             extract_and_sample_device)
 
-    f_top = DEFAULT_BUCKETS[-1][1]
+    f_top = FACE_BUCKETS[-1]
+    c_top = DEFAULT_BUCKETS[-1][0]
 
     def once(seed, timing=None):
         t0 = time.perf_counter()
@@ -188,14 +189,23 @@ def bench_e2e_device_resident(stages, batch, rounds=3, num_samples=2048):
             timing.append((t1 - t0, t2 - t1))
         return pts, nrm, nf, nc
 
-    once(300)                                  # compile + warmup
+    # compile + warmup on the SAME seeds as the timed rounds: bucket choice is
+    # data-dependent and a first compile of an unseen (c,f) bucket through the
+    # remote-compile tunnel takes minutes — it must never land inside the
+    # timed window
+    for r in range(rounds):
+        once(301 + r)
     timing = []
     t0 = time.perf_counter()
     ok = overflow = 0
     for r in range(rounds):
         pts, nrm, nf, nc = once(301 + r, timing)
-        ok += int(np.sum((nf > 0) & (nf <= f_top)))
-        overflow += int(np.sum(nf > f_top))
+        # a sample is broken when faces exceed the largest face bucket OR
+        # active cells exceed the largest cell bucket (truncated extraction —
+        # n_faces alone cannot reveal cell overflow)
+        bad = (nf > f_top) | (nc > c_top)
+        ok += int(np.sum((nf > 0) & ~bad))
+        overflow += int(np.sum(bad))
     wall = time.perf_counter() - t0
     return {"meshes_per_sec": rounds * batch / wall,
             "ok_meshes_per_sec": ok / wall, "overflow": overflow,

@@ -89,7 +89,8 @@ def latent_denoise_and_reconstruct(net_fn: Callable, decode_fn: Callable,
         raise ValueError("local resampling is keypoint-conditional")
     key, k_chain, k_dec = jax.random.split(key, 3)
     if sampler == "fastdpm":
-        if local_resampling or x is not None or curr_step is not None:
+        if (local_resampling or x is not None or curr_step is not None
+                or n_steps is not None):
             raise ValueError("fastdpm sampling is full-chain-from-noise only")
         from slide_tpu.diffusion.fastdpm import fast_x0_denoise
         latent = fast_x0_denoise(

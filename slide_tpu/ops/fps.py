@@ -49,19 +49,32 @@ def set_fps_impl(impl: str) -> None:
     _FPS_IMPL = impl
 
 
-def _use_pallas(n: int) -> bool:
+def _use_pallas(n: int, d: int) -> bool:
     if _FPS_IMPL == "scan":
         return False
     from slide_tpu.ops.pallas import pallas_available
     if _FPS_IMPL == "pallas":
+        # forced mode fails loudly instead of silently diverging: the kernel
+        # distances over xyz[..., :3] while the scan uses ALL channels, and a
+        # pallas_call cannot lower for the CPU backend
+        if d != 3:
+            raise ValueError(
+                f"SLIDE_TPU_FPS=pallas supports 3-channel points only, got "
+                f"D={d} (the scan path distances over all channels)")
+        if not pallas_available():
+            raise RuntimeError("SLIDE_TPU_FPS=pallas but no Pallas-capable "
+                               "accelerator backend is active")
         return True
-    # auto policy: lane-aligned clouds only (every AE/SAP hot shape is a
-    # multiple of 128; the odd sizes — e.g. the 2049-point centroid-prepended
-    # keypoint cloud — go to the scan, which is also where FPS cost is
-    # negligible).  Mosaic handles padded lanes logically, but a scanned
-    # grad-step with the 2049-lane kernel hit a TPU-backend InvalidArgument
-    # at runtime; until that's root-caused the aligned gate is the safe set.
-    return n % 128 == 0 and pallas_available() and len(jax.devices()) == 1
+    # auto policy: 3-channel (the kernel's distance definition matches the
+    # scan only at D=3), lane-aligned clouds only (every AE/SAP hot shape is
+    # a multiple of 128; the odd sizes — e.g. the 2049-point
+    # centroid-prepended keypoint cloud — go to the scan, which is also where
+    # FPS cost is negligible).  Mosaic handles padded lanes logically, but a
+    # scanned grad-step with the 2049-lane kernel hit a TPU-backend
+    # InvalidArgument at runtime; until that's root-caused the aligned gate
+    # is the safe set.
+    return (d == 3 and n % 128 == 0 and pallas_available()
+            and len(jax.devices()) == 1)
 
 
 def furthest_point_sample(xyz: jax.Array, k: int, start_idx=0, num_forced: int = 0):
@@ -82,7 +95,7 @@ def furthest_point_sample(xyz: jax.Array, k: int, start_idx=0, num_forced: int =
     b, n, d = xyz.shape
     if k > n:
         raise ValueError(f"cannot sample {k} points from {n}")
-    if _use_pallas(n):
+    if _use_pallas(n, d):
         from slide_tpu.ops.pallas import fps_pallas
         # indices carry no tangents; sever the AD path so the kernel is not
         # differentiated through (pallas_call has no JVP rule)

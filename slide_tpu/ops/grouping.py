@@ -23,10 +23,15 @@ from jax import lax
 # Scatter-free gather backward: XLA autodiff turns take_along_axis's VJP into
 # scatter-add, which TPUs execute poorly for non-unique indices.  When
 # enabled, the gather's backward is re-expressed as sort + prefix-sum +
-# searchsorted differencing (exact segment sums, gather-only — every op rides
-# the VPU/MXU well).  Off by default until the on-chip microprobe
-# (benchmarks/profile_ae.py scatter_grad vs dense control) shows a win;
-# toggle via env SLIDE_TPU_SCATTER_FREE_GRAD=1 or set_scatter_free_grad().
+# searchsorted differencing (gather-only — every op rides the VPU/MXU well).
+# Numerics: segment sums come from differencing an f32 prefix sum, so they
+# are NOT bit-exact vs scatter-add — measured ~1.4e-4 max abs error at the
+# production size (32k cotangents of unit scale into 2048 rows; ~6e-5
+# relative, ~45x f32 scatter-add's rounding).  Negligible against SGD
+# gradient noise but visible to bit-parity tests.  Off by default until the
+# on-chip microprobe (benchmarks/profile_ae.py scatter_grad vs dense
+# control) shows a win; toggle via env SLIDE_TPU_SCATTER_FREE_GRAD=1 or
+# set_scatter_free_grad().
 _scatter_free = os.environ.get("SLIDE_TPU_SCATTER_FREE_GRAD", "0") == "1"
 
 
@@ -59,9 +64,9 @@ def _gather_rows_sf_for(n: int):
         sidx = jnp.take_along_axis(flat_idx.astype(jnp.int32), order, axis=1)
         gs = jnp.take_along_axis(g, order[..., None],
                                  axis=1).astype(jnp.float32)
-        # exact per-point segment sums via prefix-sum differencing: the hits
-        # of point p are contiguous in sorted order,
-        # d[p] = cum[end_p] - cum[start_p]
+        # per-point segment sums via prefix-sum differencing: the hits of
+        # point p are contiguous in sorted order,
+        # d[p] = cum[end_p] - cum[start_p]  (f32; see module note on error)
         cum = jnp.concatenate([jnp.zeros((b, 1, c), jnp.float32),
                                jnp.cumsum(gs, axis=1)], axis=1)
         pts = jnp.arange(n, dtype=jnp.int32)

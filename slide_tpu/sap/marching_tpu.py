@@ -370,9 +370,11 @@ def extract_and_sample_device(psr_grid_dev, key, num_samples: int = 2048,
     n_faces (B,), n_cells (B,)) numpy.  Each sample runs in the smallest
     bucket that fits its active-cell count; all extractions are dispatched
     async and fetched together (one tunnel sync for the count, one for the
-    results).  Face-budget overflows retry one bucket up; a sample that
-    overflows the LARGEST bucket is returned as-is with n_faces > f_max so
-    callers can detect it (same contract as marching_tetrahedra_device).
+    results).  Face-budget overflows retry one bucket up.  A sample that
+    overflows the LARGEST budgets is returned truncated; callers detect it
+    from the returned counts (n_faces > FACE_BUCKETS[-1] for face overflow,
+    n_cells > buckets[-1][0] for cell overflow — n_faces alone cannot reveal
+    the latter because a truncated extraction reports the truncated count).
     Reference capability: `dpsr_utils/utils.py:246-287` + pytorch3d
     `sample_points_from_meshes` (`dpsr_evaluation.py:310-327`)."""
     b = psr_grid_dev.shape[0]

@@ -138,3 +138,28 @@ def test_scatter_free_gather_backward_bf16_and_interp():
         set_scatter_free_grad(prev)
     np.testing.assert_allclose(np.asarray(g_sf), np.asarray(g_ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_scatter_free_gather_backward_production_size_error_bound():
+    """At the AE's production gather size (32k cotangents into 2048 rows) the
+    prefix-differencing error stays ~1e-4 absolute for unit-scale cotangents
+    (see the module note — not bit-exact, negligible vs gradient noise)."""
+    from slide_tpu.ops.grouping import set_scatter_free_grad
+
+    rng = np.random.default_rng(5)
+    n, m, k, c = 2048, 1024, 32, 8
+    pts = jnp.asarray(rng.normal(size=(1, n, c)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n, size=(1, m, k)).astype(np.int32))
+    ct = jnp.asarray(rng.normal(size=(1, m, k, c)).astype(np.float32))
+
+    def loss(p):
+        return jnp.vdot(group_points(p, idx), ct)
+
+    g_ref = jax.grad(loss)(pts)          # scatter-add autodiff
+    prev = set_scatter_free_grad(True)
+    try:
+        g_sf = jax.grad(loss)(pts)
+    finally:
+        set_scatter_free_grad(prev)
+    err = float(jnp.max(jnp.abs(g_sf - g_ref)))
+    assert err < 5e-4, err
