@@ -391,4 +391,14 @@ def main():
 
 
 if __name__ == "__main__":
+    # Serialize against any other chip workload (campaign training, probes):
+    # concurrent jobs inflate measurements 5-50x.  Bounded wait so a stuck
+    # holder can't block the driver's end-of-round bench forever.
+    try:
+        from benchmarks.chip_lock import acquire_chip_lock
+        if not acquire_chip_lock(timeout=900, label="bench.py"):
+            print("WARNING: bench.py proceeding WITHOUT the chip lock — "
+                  "numbers may be contention-inflated", file=sys.stderr)
+    except Exception:
+        pass
     main()

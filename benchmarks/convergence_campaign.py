@@ -36,9 +36,14 @@ DATA = os.path.join(ROOT, "data")
 SAP_DATA = os.path.join(ROOT, "sap_data")
 EXPS = os.path.join(ROOT, "exps")
 
-CATEGORIES = ("airplane", "chair")
-SYNSETS = ("02691156", "03001627")
-MODELS_PER_SPLIT = 200
+# The reference's 5 trained categories (README.md:86-135); the synthetic
+# corpus gives each a separable shape distribution (data/synthetic.py
+# CATEGORY_AXIS_RANGES) so the class conditioning does real work and the
+# per-category metric blocks in report.json are meaningful (VERDICT r3
+# item 7).
+CATEGORIES = ("airplane", "cabinet", "car", "chair", "lamp")
+SYNSETS = ("02691156", "02933112", "02958343", "03001627", "03636649")
+MODELS_PER_SPLIT = 120           # x5 categories = 600 shapes/split
 SAP_MODELS = 60
 
 import jax                                                  # noqa: E402
@@ -51,6 +56,14 @@ try:
                                    ".jax_cache"))
 except Exception:
     pass
+
+
+def _label_synset(idx: int) -> str:
+    """Loader label index -> synset id (labels are indices over the SORTED
+    13 metadata synsets — data/shapenet_psr.py::load_metadata)."""
+    from slide_tpu.data.synthetic import ALL_SYNSETS
+    ordered = sorted(ALL_SYNSETS)
+    return ordered[idx] if 0 <= idx < len(ordered) else "?"
 
 
 def _latest_ckpt(exp_root):
@@ -172,7 +185,10 @@ def stage_sap(steps=10000):
 
 
 def _test_clouds(n, npoints=2048):
-    """Held-out test-split clouds (points, normals, labels)."""
+    """Held-out test-split clouds (points, normals, labels), CATEGORY-
+    BALANCED: n // n_categories per category (the loader's test order is
+    per-category-contiguous, so a head slice would cover only the first
+    categories)."""
     from slide_tpu.data.loader import get_dataloader
     ts = {"dataset": "shapenet_psr_dataset", "data_dir": DATA,
           "categories": list(SYNSETS), "npoints": npoints, "scale": 1,
@@ -184,10 +200,77 @@ def _test_clouds(n, npoints=2048):
         pts.append(np.asarray(b["points"], np.float32))
         nrm.append(np.asarray(b["normals"], np.float32))
         lbl.append(np.asarray(b["label"], np.int64))
-        if sum(p.shape[0] for p in pts) >= n:
-            break
-    return (np.concatenate(pts)[:n], np.concatenate(nrm)[:n],
-            np.concatenate(lbl)[:n])
+    pts, nrm, lbl = map(np.concatenate, (pts, nrm, lbl))
+    quota = n // len(SYNSETS)
+    keep = np.concatenate([np.flatnonzero(lbl == c)[:quota]
+                           for c in np.unique(lbl)])
+    if keep.size < n:      # top up from the head if a category ran short
+        extra = np.setdiff1d(np.arange(len(lbl)), keep)[:n - keep.size]
+        keep = np.concatenate([keep, extra])
+    return pts[keep], nrm[keep], lbl[keep]
+
+
+def stage_aediag(n_samples=200):
+    """Fast AE-reconstruction diagnostic (CD family only, ~5 min): runs right
+    after the AE stage so a still-flagging reconstruction is caught BEFORE
+    hours are spent training the latent DDPM against a bad latent space
+    (VERDICT r3 item 2: if the 30k retrain doesn't move recon 1-NN, the
+    looser-spacing diagnosis is wrong and the decoder needs attention
+    instead).  Healthy target: 1-NN-CD acc near 0.5, spacing ratio near 1."""
+    from slide_tpu.configs import autoencoder_config
+    from slide_tpu.train import build_autoencoder
+    from slide_tpu.eval.metrics import compute_all_metrics
+    from slide_tpu.ops import sample_keypoints, calc_cd
+
+    ae_ck, ae_path = _latest_ckpt(os.path.join(EXPS, "ae"))
+    print("aediag ckpt:", ae_path)
+    ae_params = ae_ck["model_state_dict"]
+    ae = build_autoencoder(autoencoder_config(CATEGORIES[0])["pointnet_config"])
+
+    test_pts, test_nrm, test_lbl = _test_clouds(n_samples)
+    ref_kp = np.asarray(sample_keypoints(jnp.asarray(test_pts), 16,
+                                         add_centroid=True)[0])
+
+    def enc_dec(x, kp, lbl, k1, k2):
+        f = ae.apply({"params": ae_params}, x, kp, label=lbl,
+                     method=ae.encode, rngs={"gaussian": k1})
+        return ae.apply({"params": ae_params}, kp, f, label=lbl,
+                        method=ae.decode, rngs={"fps": k2})
+
+    enc_dec = jax.jit(enc_dec)
+    cd_fn = jax.jit(lambda a, bb: calc_cd(a, bb)["cd_p"])
+    b = 40
+    key = jax.random.key(31)
+    recon, rec_cd = [], []
+    for i in range(n_samples // b):
+        sl = slice(i * b, (i + 1) * b)
+        key, k1, k2 = jax.random.split(key, 3)
+        x6 = jnp.concatenate([jnp.asarray(test_pts[sl]),
+                              jnp.asarray(test_nrm[sl])], axis=-1)
+        out = enc_dec(x6, jnp.asarray(ref_kp[sl]),
+                      jnp.asarray(test_lbl[sl], jnp.int32), k1, k2)[..., :3]
+        recon.append(np.asarray(out))
+        rec_cd.append(np.asarray(cd_fn(out, jnp.asarray(test_pts[sl]))))
+    recon = np.concatenate(recon)
+
+    def nn_spacing(clouds):
+        # mean 1-NN point spacing inside each cloud — the looseness probe
+        d = jnp.sum((clouds[:, :, None] - clouds[:, None]) ** 2, -1)
+        d = d + jnp.eye(clouds.shape[1]) * 1e9
+        return float(jnp.sqrt(d.min(-1)).mean())
+
+    m = compute_all_metrics(jnp.asarray(recon), jnp.asarray(test_pts),
+                            batch_size=25, with_emd=False)
+    out = {"mean_cd_p": float(np.concatenate(rec_cd).mean()),
+           **{k: float(v) for k, v in m.items()},
+           "recon_nn_spacing": nn_spacing(jnp.asarray(recon[:64])),
+           "real_nn_spacing": nn_spacing(jnp.asarray(test_pts[:64])),
+           "ckpt": ae_path}
+    print("aediag:", json.dumps(out, indent=2))
+    os.makedirs(ROOT, exist_ok=True)
+    with open(os.path.join(ROOT, "aediag.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    return out
 
 
 def stage_eval(n_samples=400, t_steps=1000, metric_points=2048,
@@ -233,40 +316,44 @@ def stage_eval(n_samples=400, t_steps=1000, metric_points=2048,
     if jax.default_backend() not in ("cpu",):
         fused = make_fused_net_fn(kp_cfg["pointnet_config"], kp_params, 16)
 
-    def kp_net_fn(x, ts):
+    def kp_net_fn(x, ts, lbl):
         if fused is not None and fused.batch_ok(x.shape[0]):
-            return fused(x, ts, jnp.zeros((x.shape[0],), jnp.int32))
-        return kp_net.apply({"params": kp_params}, x, ts=ts,
-                            label=jnp.zeros((x.shape[0],), jnp.int32))
+            return fused(x, ts, lbl)
+        return kp_net.apply({"params": kp_params}, x, ts=ts, label=lbl)
 
     def make_sample_kp(length=None):
         """T-step DDPM chain, or the S-step FastDPM chain when `length`."""
         if length:
             from slide_tpu.diffusion import diffusion_config_of, fast_sampling
             dc = diffusion_config_of(kp_sched)
-            return jax.jit(lambda k: fast_sampling(
-                kp_net_fn, k, (b, 16, 3), kp_sched, dc, length=length,
-                sampling_method="step", schedule="quadratic", kappa=0.5))
-        return jax.jit(lambda k: diffusion_sampling(
-            kp_net_fn, k, (b, 16, 3), kp_sched))
+            return jax.jit(lambda k, lbl: fast_sampling(
+                lambda x, ts: kp_net_fn(x, ts, lbl), k, (b, 16, 3), kp_sched,
+                dc, length=length, sampling_method="step",
+                schedule="quadratic", kappa=0.5))
+        return jax.jit(lambda k, lbl: diffusion_sampling(
+            lambda x, ts: kp_net_fn(x, ts, lbl), k, (b, 16, 3), kp_sched))
 
-    def gen_keypoints(sample_kp, key):
+    def gen_keypoints(sample_kp, key, labels):
         out = []
         t0 = time.time()
         for i in range(n_samples // b):
             key, ks = jax.random.split(key)
-            out.append(np.asarray(jax.block_until_ready(sample_kp(ks))))
+            lbl_i = jnp.asarray(labels[i * b:(i + 1) * b], jnp.int32)
+            out.append(np.asarray(jax.block_until_ready(sample_kp(ks, lbl_i))))
         out = np.concatenate(out)
         print(f"generated {out.shape[0]} keypoint sets in {time.time()-t0:.0f}s")
         return out, key
 
-    key = jax.random.key(97)
-    gen_kp, key = gen_keypoints(make_sample_kp(), key)
-
-    # reference keypoints from held-out test clouds
+    # reference clouds/keypoints from held-out test clouds, category-balanced;
+    # generation is conditioned on the SAME label multiset so the two sets
+    # draw from matched category mixes (the reference generates per-category)
     test_pts, test_nrm, test_lbl = _test_clouds(n_samples)
+    gen_lbl = test_lbl.copy()
     ref_kp = np.asarray(sample_keypoints(jnp.asarray(test_pts), 16,
                                          add_centroid=True)[0])
+
+    key = jax.random.key(97)
+    gen_kp, key = gen_keypoints(make_sample_kp(), key, gen_lbl)
 
     t0 = time.time()
     m_kp = compute_all_metrics(jnp.asarray(gen_kp), jnp.asarray(ref_kp),
@@ -321,13 +408,13 @@ def stage_eval(n_samples=400, t_steps=1000, metric_points=2048,
 
         return jax.jit(chain)
 
-    def gen_clouds_from(sample_cloud, kp_all, key):
+    def gen_clouds_from(sample_cloud, kp_all, key, labels):
         out = []
         t0 = time.time()
         for i in range(n_samples // b):
             key, ks = jax.random.split(key)
             kp_i = jnp.asarray(kp_all[i * b:(i + 1) * b])
-            lbl_i = jnp.zeros((b,), jnp.int32)
+            lbl_i = jnp.asarray(labels[i * b:(i + 1) * b], jnp.int32)
             pts, _kp, _f = sample_cloud(ks, kp_i, lbl_i)
             out.append(np.asarray(jax.block_until_ready(pts))[..., :3])
         out = np.concatenate(out)
@@ -338,21 +425,41 @@ def stage_eval(n_samples=400, t_steps=1000, metric_points=2048,
     if with_emd is None:     # auto: the measured suite cost is minutes on
         with_emd = jax.default_backend() not in ("cpu",)   # the chip, days on CPU
 
-    def cloud_metrics(clouds, emd=False):
+    def cloud_metrics(clouds, emd=False, refs=None, per_category=False):
         # the EMD family (~10-15 min/suite on-chip) runs for the PRIMARY
         # cloud_level suite (VERDICT r2 item 5); the ae_recon diagnostic and
         # the FastDPM drift rows only need the CD family + JSD
         use_emd = with_emd and emd
+        refs = test_pts if refs is None else refs
         t0 = time.time()
         m = compute_all_metrics(jnp.asarray(clouds[:, :sub]),
-                                jnp.asarray(test_pts[:, :sub]),
+                                jnp.asarray(refs[:, :sub]),
                                 batch_size=25, with_emd=use_emd)
         m = {k: float(v) for k, v in m.items()}
         m["jsd"] = float(jsd_between_point_cloud_sets(
-            clouds[:, :sub], test_pts[:, :sub]))
+            clouds[:, :sub], refs[:, :sub]))
         print(f"cloud metrics (with_emd={use_emd}) "
               f"in {time.time()-t0:.0f}s:", m)
         m["suite_wall_s"] = round(time.time() - t0, 1)
+        if per_category:
+            # per-category CD-family blocks (VERDICT r3 item 7): gen and ref
+            # subsets carry the same labels by construction, so each block is
+            # a matched same-size comparison within one category
+            cats = {}
+            for c in np.unique(test_lbl):
+                gmask, rmask = gen_lbl == c, test_lbl == c
+                mc = compute_all_metrics(jnp.asarray(clouds[gmask][:, :sub]),
+                                         jnp.asarray(refs[rmask][:, :sub]),
+                                         batch_size=25, with_emd=False)
+                mc = {k: float(v) for k, v in mc.items()}
+                mc["jsd"] = float(jsd_between_point_cloud_sets(
+                    clouds[gmask][:, :sub], refs[rmask][:, :sub]))
+                name = CATEGORIES[SYNSETS.index(_label_synset(int(c)))] \
+                    if _label_synset(int(c)) in SYNSETS else str(int(c))
+                cats[name] = mc
+                print(f"  [{name}] ", {k: round(v, 4)
+                                       for k, v in mc.items()})
+            m["per_category"] = cats
         return m
 
     # ---- AE reconstruction diagnostic: encode+decode the TEST clouds and
@@ -372,7 +479,7 @@ def stage_eval(n_samples=400, t_steps=1000, metric_points=2048,
         x6 = jnp.concatenate([jnp.asarray(test_pts[sl]),
                               jnp.asarray(test_nrm[sl])], axis=-1)
         out = enc_dec(x6, jnp.asarray(ref_kp[sl]),
-                      jnp.zeros((b,), jnp.int32), k1, k2)[..., :3]
+                      jnp.asarray(test_lbl[sl], jnp.int32), k1, k2)[..., :3]
         recon.append(np.asarray(out))
         rec_cd.append(np.asarray(cd_fn(out, jnp.asarray(test_pts[sl]))))
     recon = np.concatenate(recon)
@@ -380,15 +487,18 @@ def stage_eval(n_samples=400, t_steps=1000, metric_points=2048,
                           **cloud_metrics(recon)}
     _write(report)
 
-    gen_clouds, key = gen_clouds_from(make_sample_cloud(), gen_kp, key)
-    report["cloud_level"] = cloud_metrics(gen_clouds, emd=True)
+    gen_clouds, key = gen_clouds_from(make_sample_cloud(), gen_kp, key,
+                                      gen_lbl)
+    report["cloud_level"] = cloud_metrics(gen_clouds, emd=True,
+                                          per_category=True)
     _write(report)
 
     # ---- FastDPM quality drift: same nets/weights, S-step chains
     for s in (fastdpm_lengths or ()):
         print(f"--- fastdpm S={s}")
-        kp_s, key = gen_keypoints(make_sample_kp(s), key)
-        clouds_s, key = gen_clouds_from(make_sample_cloud(s), kp_s, key)
+        kp_s, key = gen_keypoints(make_sample_kp(s), key, gen_lbl)
+        clouds_s, key = gen_clouds_from(make_sample_cloud(s), kp_s, key,
+                                        gen_lbl)
         report[f"fastdpm_s{s}"] = cloud_metrics(clouds_s)
         _write(report)
     return report
@@ -402,7 +512,8 @@ def _write(report):
 
 
 STAGES = {"data": stage_data, "kp": stage_kp, "ae": stage_ae,
-          "lat": stage_lat, "sap": stage_sap, "eval": stage_eval}
+          "aediag": stage_aediag, "lat": stage_lat, "sap": stage_sap,
+          "eval": stage_eval}
 
 
 def main():
@@ -421,4 +532,6 @@ def main():
 
 
 if __name__ == "__main__":
+    from benchmarks.chip_lock import acquire_chip_lock
+    acquire_chip_lock()
     main()

@@ -69,4 +69,6 @@ def main():
 
 
 if __name__ == "__main__":
+    from benchmarks.chip_lock import acquire_chip_lock
+    acquire_chip_lock()
     main()

@@ -70,8 +70,10 @@ def _time_steps(step, state, batch, n_steps=20, warmup=True):
         return jax.lax.scan(body, state, idx)
 
     # donation is skipped on the remote-tunnel backend (it forces buffer
-    # round-trips, ~4 s/call — same policy as run_training)
-    donate = (0,) if jax.default_backend() != "axon" else ()
+    # round-trips, ~4 s/call, and newer tunnel runtimes reject donated
+    # executions with INVALID_ARGUMENT — same policy as run_training)
+    from slide_tpu.utils.platform import donation_safe
+    donate = (0,) if donation_safe() else ()
     jmany = jax.jit(many, donate_argnums=donate)
 
     def run(n):
@@ -294,4 +296,6 @@ def main():
 
 
 if __name__ == "__main__":
+    from benchmarks.chip_lock import acquire_chip_lock
+    acquire_chip_lock()
     main()

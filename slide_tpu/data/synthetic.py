@@ -27,6 +27,23 @@ ALL_SYNSETS = {
 }
 
 
+# Category-dependent ellipsoid semi-axis ranges ((lo, hi) per axis) for the
+# 5 reference-trained categories (README.md:86-135).  Under shape_variety the
+# per-category distributions are clearly separable (airplane: long+flat,
+# cabinet: boxy, car: long+low, chair: squat+tall, lamp: thin+tall), so the
+# 13-way class embedding does real conditioning work and per-category metric
+# blocks are meaningful.  Categories not listed fall back to the generic
+# isotropic range.
+CATEGORY_AXIS_RANGES = {
+    "02691156": ((0.40, 0.48), (0.28, 0.38), (0.08, 0.14)),   # airplane
+    "02933112": ((0.32, 0.42), (0.32, 0.42), (0.36, 0.46)),   # cabinet
+    "02958343": ((0.40, 0.48), (0.18, 0.26), (0.10, 0.16)),   # car
+    "03001627": ((0.20, 0.28), (0.20, 0.28), (0.40, 0.48)),   # chair
+    "03636649": ((0.07, 0.13), (0.07, 0.13), (0.42, 0.50)),   # lamp
+}
+_GENERIC_AXIS_RANGE = ((0.25, 0.45),) * 3
+
+
 def write_synthetic_shapenet_psr(root: str, categories=("02691156",),
                                  models_per_split: int = 4,
                                  num_points: int = 3000, psr_res: int = 16,
@@ -70,7 +87,9 @@ def write_synthetic_shapenet_psr(root: str, categories=("02691156",),
                 d = rng.standard_normal((num_points, 3)).astype(np.float32)
                 n = d / np.linalg.norm(d, axis=1, keepdims=True)
                 if shape_variety:
-                    axes = rng.uniform(0.25, 0.45, size=3).astype(np.float32)
+                    rng_lohi = CATEGORY_AXIS_RANGES.get(c, _GENERIC_AXIS_RANGE)
+                    axes = np.array([rng.uniform(lo, hi)
+                                     for lo, hi in rng_lohi], np.float32)
                 else:
                     axes = np.full(3, 0.4, np.float32)
                 pts = axes * n + 0.02 * rng.standard_normal(

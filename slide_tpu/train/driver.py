@@ -203,8 +203,10 @@ def run_training(config: dict, state: TrainState, train_step: Callable, *,
 
     # donation halves state memory on directly-attached devices, but on the
     # remote-tunnel backend it forces buffer round-trips costing ~4 s per
-    # call (measured: 223 ms/step donated vs 5.4 ms/step without, B=32)
-    donate = (0,) if jax.default_backend() != "axon" else ()
+    # call (measured: 223 ms/step donated vs 5.4 ms/step without, B=32);
+    # newer tunnel runtimes reject donated executions with INVALID_ARGUMENT
+    from slide_tpu.utils.platform import donation_safe
+    donate = (0,) if donation_safe() else ()
     step_fn = jax.jit(multi_step, in_shardings=(repl, stacked_sh, repl),
                       out_shardings=(repl, repl), donate_argnums=donate)
 
