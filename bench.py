@@ -182,7 +182,7 @@ def bench_e2e_device_resident(stages, batch, rounds=3, num_samples=2048):
         t0 = time.perf_counter()
         grid = device_chain(stages, jax.random.key(seed))
         t1 = time.perf_counter()
-        pts, nrm, nf, nc = extract_and_sample_device(
+        pts, nrm, nf, nc, _ovf = extract_and_sample_device(
             grid, jax.random.key(seed + 1), num_samples)
         t2 = time.perf_counter()
         if timing is not None:

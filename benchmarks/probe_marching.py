@@ -99,7 +99,8 @@ def main():
     # ---- full bucketed batch
     out = extract_and_sample_device(grid, jax.random.key(5), 2048)
     t0 = time.perf_counter()
-    pts, nrm, nf, nc = extract_and_sample_device(grid, jax.random.key(6), 2048)
+    pts, nrm, nf, nc, _ovf = extract_and_sample_device(grid,
+                                                       jax.random.key(6), 2048)
     bucketed_s = time.perf_counter() - t0
     print(f"bucketed batch-16 extraction: {bucketed_s:.2f}s  "
           f"faces min/med/max {nf.min()}/{int(np.median(nf))}/{nf.max()}",

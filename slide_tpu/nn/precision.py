@@ -37,6 +37,14 @@ _NAMES = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
           "float32": None, "f32": None, "none": None, "": None}
 
 
+def _drop_stale_jit_caches() -> None:
+    """The activation dtype is read at TRACE time; dropping jax's trace/
+    executable caches keeps an already-jitted step from silently retaining
+    the previous mode (ADVICE r3: stale-toggle hazard)."""
+    import jax
+    jax.clear_caches()
+
+
 def set_activation_dtype(dtype) -> None:
     """dtype: jnp dtype, a name ('bfloat16'/'float32'), or None for f32."""
     global _ACT_DTYPE
@@ -45,7 +53,9 @@ def set_activation_dtype(dtype) -> None:
         if key not in _NAMES:
             raise ValueError(f"unknown activation dtype {dtype!r}")
         dtype = _NAMES[key]
-    _ACT_DTYPE = dtype
+    if dtype is not _ACT_DTYPE:
+        _ACT_DTYPE = dtype
+        _drop_stale_jit_caches()
 
 
 def activation_dtype():
@@ -64,8 +74,15 @@ def activation_dtype_scope(dtype):
         set_activation_dtype(prev)
 
 
-# honor the env switch at import (lets CLI/benchmarks opt in without code)
-set_activation_dtype(os.environ.get("SLIDE_TPU_ACT_DTYPE", ""))
+# honor the env switch at import (lets CLI/benchmarks opt in without code);
+# a typo'd value must not crash every `import slide_tpu.*` — warn and keep
+# the f32 default instead (the opt-in feature fails soft, nothing else does)
+try:
+    set_activation_dtype(os.environ.get("SLIDE_TPU_ACT_DTYPE", ""))
+except ValueError as _e:
+    import warnings
+    warnings.warn(f"ignoring invalid SLIDE_TPU_ACT_DTYPE: {_e}; "
+                  "activations stay float32", stacklevel=1)
 
 
 def Dense(*args, **kwargs):

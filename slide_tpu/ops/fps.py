@@ -46,7 +46,11 @@ def set_fps_impl(impl: str) -> None:
     global _FPS_IMPL
     if impl not in ("auto", "scan", "pallas"):
         raise ValueError(f"unknown FPS impl {impl!r}")
-    _FPS_IMPL = impl
+    if impl != _FPS_IMPL:
+        _FPS_IMPL = impl
+        # read at trace time — invalidate cached traces (see set_scatter_free_grad)
+        import jax
+        jax.clear_caches()
 
 
 def _use_pallas(n: int, d: int) -> bool:

@@ -39,7 +39,12 @@ def set_scatter_free_grad(on: bool) -> bool:
     """Enable/disable the sort-based gather backward; returns previous."""
     global _scatter_free
     prev = _scatter_free
-    _scatter_free = bool(on)
+    if prev != bool(on):
+        _scatter_free = bool(on)
+        # the flag is read at TRACE time: drop cached traces/executables so
+        # already-jitted steps can't silently keep the stale behavior
+        import jax
+        jax.clear_caches()
     return prev
 
 

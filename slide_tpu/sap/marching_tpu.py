@@ -367,14 +367,13 @@ def extract_and_sample_device(psr_grid_dev, key, num_samples: int = 2048,
     """Batched grid -> sampled surface clouds with per-sample budget buckets.
 
     (B, r, r, r) device grid -> (points (B, S, 3), normals (B, S, 3),
-    n_faces (B,), n_cells (B,)) numpy.  Each sample runs in the smallest
-    bucket that fits its active-cell count; all extractions are dispatched
-    async and fetched together (one tunnel sync for the count, one for the
-    results).  Face-budget overflows retry one bucket up.  A sample that
-    overflows the LARGEST budgets is returned truncated; callers detect it
-    from the returned counts (n_faces > FACE_BUCKETS[-1] for face overflow,
-    n_cells > buckets[-1][0] for cell overflow — n_faces alone cannot reveal
-    the latter because a truncated extraction reports the truncated count).
+    n_faces (B,), n_cells (B,), overflow (B,) bool) numpy.  Each sample runs
+    in the smallest bucket that fits its active-cell count; all extractions
+    are dispatched async and fetched together (one tunnel sync for the
+    count, one for the results).  Face-budget overflows retry one bucket up.
+    A sample that overflows the LARGEST budgets is returned truncated with
+    overflow[i]=True — check the flag, not n_faces (a truncated extraction
+    reports the truncated count, so n_faces alone cannot reveal it).
     Reference capability: `dpsr_utils/utils.py:246-287` + pytorch3d
     `sample_points_from_meshes` (`dpsr_evaluation.py:310-327`)."""
     b = psr_grid_dev.shape[0]
@@ -411,7 +410,14 @@ def extract_and_sample_device(psr_grid_dev, key, num_samples: int = 2048,
             p, n, f, c = dispatch(i, bucket_of[i], fbucket_of[i])
             f = int(f)
         pts[i], nrm[i], nf[i] = np.asarray(p), np.asarray(n), f
-    return (np.stack(pts), np.stack(nrm), nf, counts)
+    overflow = np.array([nf[i] > FACE_BUCKETS[fbucket_of[i]]
+                         or counts[i] > buckets[-1][0] for i in range(b)])
+    if overflow.any():
+        import warnings
+        warnings.warn(f"{int(overflow.sum())}/{b} samples exceeded the "
+                      "largest extraction budget and were truncated",
+                      stacklevel=2)
+    return (np.stack(pts), np.stack(nrm), nf, counts, overflow)
 
 
 def device_mesh_to_host(mesh_b: dict, index: int):

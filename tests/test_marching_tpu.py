@@ -133,9 +133,10 @@ def test_bucketed_extract_and_sample_matches_fixed_budget():
     # tiny buckets force a retry path for the noisy sample (faces > 4*cells
     # never happens, but c-bucket selection + padding-independence do)
     buckets = ((64, 256), (4096, 16384), (16384, 65536))
-    pts, nrm, nf, nc = extract_and_sample_device(
+    pts, nrm, nf, nc, ovf = extract_and_sample_device(
         grid, jax.random.key(7), 512, buckets=buckets)
     assert pts.shape == (2, 512, 3) and nrm.shape == (2, 512, 3)
+    assert not ovf.any()          # both fit the given ladder
     for i in range(2):
         ref = marching_tetrahedra_device(jnp.asarray(vols[i]), 0.0,
                                          f_max=65536, c_max=16384)
