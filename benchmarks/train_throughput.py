@@ -64,10 +64,26 @@ def _time_steps(step, state, batch, n_steps=20, warmup=True):
     vs the v5e bf16 peak."""
     key = jax.random.key(7)
 
-    def many(state, batch, idx):
-        def body(s, i):
-            return step(s, batch, jax.random.fold_in(key, i))
-        return jax.lax.scan(body, state, idx)
+    def stack_batches(n):
+        # per-step DISTINCT batches, the way run_training dispatches stacked
+        # super-batches: with a loop-invariant batch XLA hoists batch-only
+        # computation (e.g. the latent task's frozen AE encode, or FPS) out
+        # of the scan and the reading fakes sub-ms step times
+        def mk(leaf, k):
+            s = jnp.broadcast_to(leaf, (n,) + leaf.shape)
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                s = s + 0.01 * jax.random.normal(k, s.shape, leaf.dtype)
+            return s
+        leaves, treedef = jax.tree_util.tree_flatten(batch)
+        keys = jax.random.split(jax.random.key(11), len(leaves))
+        return jax.tree_util.tree_unflatten(
+            treedef, [mk(l, k) for l, k in zip(leaves, keys)])
+
+    def many(state, batches, idx):
+        def body(s, xs):
+            bi, i = xs
+            return step(s, bi, jax.random.fold_in(key, i))
+        return jax.lax.scan(body, state, (batches, idx))
 
     # donation is skipped on the remote-tunnel backend (it forces buffer
     # round-trips, ~4 s/call, and newer tunnel runtimes reject donated
@@ -78,10 +94,11 @@ def _time_steps(step, state, batch, n_steps=20, warmup=True):
 
     def run(n):
         idx = jnp.arange(n, dtype=jnp.int32)
-        st, loss = jmany(state, batch, idx)    # compile + warmup
+        batches = stack_batches(n)
+        st, loss = jmany(state, batches, idx)    # compile + warmup
         jax.block_until_ready(loss)
         t0 = time.perf_counter()
-        st, loss = jmany(state, batch, idx)
+        st, loss = jmany(state, batches, idx)
         jax.block_until_ready(loss)
         return time.perf_counter() - t0, loss
 
@@ -92,14 +109,23 @@ def _time_steps(step, state, batch, n_steps=20, warmup=True):
     detail = {"device_sec_per_step": device_per_step,
               "dispatch_overhead_sec": overhead}
     try:
-        cost = jmany.lower(state, batch,
+        cost = jmany.lower(state, stack_batches(n_steps),
                            jnp.arange(n_steps, dtype=jnp.int32)) \
                     .compile().cost_analysis()
         flops_per_step = float(cost.get("flops", 0.0)) / n_steps
         detail["flops_per_step"] = flops_per_step
-        detail["achieved_flops_per_sec"] = flops_per_step / device_per_step
-        detail["mfu_vs_v5e_bf16_peak"] = (flops_per_step / device_per_step
-                                          / V5E_PEAK_BF16)
+        # below the ~0.2 ms tunnel-sync floor the 2N-N subtraction is noise
+        # and utilization would be garbage; Pallas kernels hide their FLOPs
+        # from cost_analysis, which would undercount the same way
+        if device_per_step >= 2e-4 and flops_per_step > 0:
+            detail["achieved_flops_per_sec"] = flops_per_step / device_per_step
+            detail["mfu_vs_v5e_bf16_peak"] = (flops_per_step / device_per_step
+                                              / V5E_PEAK_BF16)
+        else:
+            detail["mfu_vs_v5e_bf16_peak"] = None
+            detail["mfu_note"] = ("device time below measurement floor"
+                                  if device_per_step < 2e-4
+                                  else "flops invisible to cost_analysis")
     except Exception as e:                      # pragma: no cover
         detail["cost_analysis_error"] = str(e)
     dt = t_n / n_steps

@@ -65,7 +65,9 @@ def activation_dtype():
 
 @contextlib.contextmanager
 def activation_dtype_scope(dtype):
-    """Temporarily set the activation dtype (trace the step inside this)."""
+    """Temporarily set the activation dtype.  Trace AND run inside this:
+    entering/exiting drops jax's trace caches, so a function traced inside
+    the scope retraces under the restored dtype once the scope exits."""
     prev = _ACT_DTYPE
     set_activation_dtype(dtype)
     try:
