@@ -32,21 +32,39 @@ REPS = 10
 
 
 def chained_time(op, x, *rest):
-    """Seconds per op call: scan-of-REPS inside one jit, carry chained."""
+    """Seconds per op call: scan-of-N inside one jit, carry chained through
+    the op.  Three tunnel-proofing rules (each learned from a failed probe):
+    the carry is chained (no loop-invariant hoisting); the timed call gets
+    DIFFERENT input buffers from the warmup call (the tunnel runtime can
+    serve an identical (executable, args) re-execution from cache — round-4
+    self-check read 80x over hardware peak); the sync is a fetched in-graph
+    scalar (a value crossing the link is the only sync that cannot be
+    faked).  Reported per-call time is the (2N - N) difference, which also
+    cancels dispatch overhead."""
 
-    @jax.jit
-    def many(x, *rest):
-        def body(c, _):
-            d = op(c, *rest)
-            return c + 1e-6 * d.sum() , d
-        return jax.lax.scan(body, x, None, length=REPS)
+    def make(nreps):
+        @jax.jit
+        def many(x, *rest):
+            def body(c, _):
+                d = op(c, *rest)
+                return c + 1e-6 * d.sum(), d.sum()
+            xc, s = jax.lax.scan(body, x, None, length=nreps)
+            return s.sum()
+        return many
 
-    xc, d = many(x, *rest)       # compile + warmup
-    jax.block_until_ready(d)
-    t0 = time.perf_counter()
-    xc, d = many(x, *rest)
-    jax.block_until_ready(d)
-    return (time.perf_counter() - t0) / REPS
+    def timed(many, xt):
+        t0 = time.perf_counter()
+        np.asarray(many(xt, *rest))
+        return time.perf_counter() - t0
+
+    t = {}
+    for nreps in (REPS, 2 * REPS):
+        many = make(nreps)
+        np.asarray(many(x, *rest))                    # compile + warmup
+        xt = x + 1e-3 * jax.random.normal(jax.random.key(nreps), x.shape)
+        jax.block_until_ready(xt)
+        t[nreps] = timed(many, xt)
+    return (t[2 * REPS] - t[REPS]) / REPS
 
 
 def main():

@@ -37,12 +37,15 @@ except Exception:
 from benchmarks.train_throughput import _cpu_init
 
 
-def timeit(fn, *args, n=5):
-    jax.block_until_ready(fn(*args))
+def timeit(fn, n=5):
+    """fn(i) -> array; i varies per call so no two calls share the exact
+    (executable, args) pair, and the sync is a host fetch of one element —
+    the two tunnel-proofing rules from benchmarks/probe_emd.py."""
+    np.asarray(jax.device_get(fn(0).ravel()[0]))
     ts = []
-    for _ in range(n):
+    for i in range(1, n + 1):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        np.asarray(jax.device_get(fn(i).ravel()[0]))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
@@ -96,12 +99,13 @@ def main(b=40, t_steps=1000):
     key = jax.random.key(9)
 
     chain_f32 = build_chain()
-    res["chain_f32_s"] = timeit(chain_f32, key)
+    res["chain_f32_s"] = timeit(lambda i: chain_f32(jax.random.fold_in(key, i)))
     out_f32 = np.asarray(chain_f32(key))[..., :3]
 
     with activation_dtype_scope("bfloat16"):
         chain_bf16 = build_chain()
-        res["chain_bf16_s"] = timeit(chain_bf16, key)
+        res["chain_bf16_s"] = timeit(
+            lambda i: chain_bf16(jax.random.fold_in(key, i)))
         out_bf16 = np.asarray(chain_bf16(key))[..., :3]
 
     res["speedup_bf16"] = res["chain_f32_s"] / res["chain_bf16_s"]
@@ -118,7 +122,7 @@ def main(b=40, t_steps=1000):
                           keypoint=kp, keypoint_dim=3)
 
     jd = jax.jit(denoise_only)
-    res["denoise_f32_s"] = timeit(jd, key)
+    res["denoise_f32_s"] = timeit(lambda i: jd(jax.random.fold_in(key, i)))
     lat_out = jd(key)
 
     def decode_only(latent, kk):
@@ -126,13 +130,16 @@ def main(b=40, t_steps=1000):
                         method=ae.decode, rngs={"fps": kk})
 
     jdec = jax.jit(decode_only)
-    res["decode_f32_s"] = timeit(jdec, lat_out, jax.random.key(5))
+    res["decode_f32_s"] = timeit(
+        lambda i: jdec(lat_out, jax.random.fold_in(jax.random.key(5), i)))
 
     with activation_dtype_scope("bfloat16"):
         jd16 = jax.jit(denoise_only)
-        res["denoise_bf16_s"] = timeit(jd16, key)
+        res["denoise_bf16_s"] = timeit(
+            lambda i: jd16(jax.random.fold_in(key, i)))
         jdec16 = jax.jit(decode_only)
-        res["decode_bf16_s"] = timeit(jdec16, lat_out, jax.random.key(5))
+        res["decode_bf16_s"] = timeit(
+            lambda i: jdec16(lat_out, jax.random.fold_in(jax.random.key(5), i)))
 
     print(json.dumps({k: (round(v, 6) if isinstance(v, float) else v)
                       for k, v in res.items()}))

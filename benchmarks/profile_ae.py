@@ -69,7 +69,16 @@ def main():
     x = jnp.concatenate([pts, nrm], axis=-1)
     kp = sample_train_keypoints(pts, ts_cfg, jax.random.key(9))
 
-    res = {}
+    class _Res(dict):
+        # print incrementally: a later-stage hang/timeout must not lose the
+        # measurements already taken (the round-3 run died in the dense
+        # control and printed nothing)
+        def __setitem__(self, k, v):
+            super().__setitem__(k, v)
+            print(f"{k}: {v:.5f}" if isinstance(v, float) else f"{k}: {v}",
+                  flush=True)
+
+    res = _Res()
 
     # full train step (single-step jit; campaign runs scans of these)
     step = jax.jit(make_ae_train_step(ae, optimizer, rates, ts_cfg))
@@ -138,13 +147,19 @@ def main():
             lambda: step_sf(state, batch, jax.random.key(7)))
     finally:
         set_scatter_free_grad(prev)
-    wmat = jax.random.normal(jax.random.key(15), (b, 1024 * 32, npts))
+    # dense matmul control, sized to the same OUTPUT traffic class as the
+    # grouped gather (b x 8192 x 32 vs b x 32768 x 32 — scaled 4x down so the
+    # operand fits; the original (b, 32768, 2048) f32 weight was 8.6 GB and,
+    # captured as a closure CONSTANT, was serialized through the tunnel at
+    # lowering time, wedging the probe).  Passed as an ARGUMENT.
+    m_ctl = 8192
+    wmat = jax.random.normal(jax.random.key(15), (b, m_ctl, npts))
 
-    def mm_loss(f):
-        return jnp.sum(jnp.einsum("bmn,bnc->bmc", wmat, f) ** 2)
+    def mm_loss(w, f):
+        return jnp.sum(jnp.einsum("bmn,bnc->bmc", w, f) ** 2)
 
-    jmm = jax.jit(jax.grad(mm_loss))
-    res["dense_grad_control_s"] = timeit(lambda: jmm(feats))
+    jmm = jax.jit(jax.grad(mm_loss, argnums=1))
+    res["dense_grad_control8192_s"] = timeit(lambda: jmm(wmat, feats))
 
     # chamfer at 2048 (per-level losses run at several sizes; this is the max)
     y = jax.random.normal(jax.random.key(12), (b, npts, 6))
