@@ -135,18 +135,10 @@ def main():
     jgp = jax.jit(jax.grad(gp_loss))
     res["scatter_grad_group1024x32_s"] = timeit(lambda: jgp(feats))
 
-    # same chain with the sort+prefix-sum backward (ops/grouping.py)
-    from slide_tpu.ops.grouping import set_scatter_free_grad
-    prev = set_scatter_free_grad(True)
-    try:
-        jgp_sf = jax.jit(jax.grad(lambda f: jnp.sum(group_points(f, idx) ** 2)))
-        res["scatterfree_grad_group1024x32_s"] = timeit(lambda: jgp_sf(feats))
-        # and the full AE step end-to-end with it on
-        step_sf = jax.jit(make_ae_train_step(ae, optimizer, rates, ts_cfg))
-        res["train_step_scatterfree_s"] = timeit(
-            lambda: step_sf(state, batch, jax.random.key(7)))
-    finally:
-        set_scatter_free_grad(prev)
+    # (round 4: the opt-in sort+prefix-sum backward measured 2x SLOWER than
+    # the native scatter-add here — 0.104 s vs 0.050 s, full step 0.636 s vs
+    # 0.478 s — and was deleted from ops/grouping.py)
+
     # dense matmul control, sized to the same OUTPUT traffic class as the
     # grouped gather (b x 8192 x 32 vs b x 32768 x 32 — scaled 4x down so the
     # operand fits; the original (b, 32768, 2048) f32 weight was 8.6 GB and,

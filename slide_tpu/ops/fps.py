@@ -48,7 +48,7 @@ def set_fps_impl(impl: str) -> None:
         raise ValueError(f"unknown FPS impl {impl!r}")
     if impl != _FPS_IMPL:
         _FPS_IMPL = impl
-        # read at trace time — invalidate cached traces (see set_scatter_free_grad)
+        # read at trace time — invalidate cached traces (ADVICE r3: stale-toggle hazard)
         import jax
         jax.clear_caches()
 

@@ -13,83 +13,23 @@ Layout is channels-last: features (B, N, C).
 
 from __future__ import annotations
 
-import functools
-import os
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-# Scatter-free gather backward: XLA autodiff turns take_along_axis's VJP into
-# scatter-add, which TPUs execute poorly for non-unique indices.  When
-# enabled, the gather's backward is re-expressed as sort + prefix-sum +
-# searchsorted differencing (gather-only — every op rides the VPU/MXU well).
-# Numerics: segment sums come from differencing an f32 prefix sum, so they
-# are NOT bit-exact vs scatter-add — measured ~1.4e-4 max abs error at the
-# production size (32k cotangents of unit scale into 2048 rows; ~6e-5
-# relative, ~45x f32 scatter-add's rounding).  Negligible against SGD
-# gradient noise but visible to bit-parity tests.  Off by default until the
-# on-chip microprobe (benchmarks/profile_ae.py scatter_grad vs dense
-# control) shows a win; toggle via env SLIDE_TPU_SCATTER_FREE_GRAD=1 or
-# set_scatter_free_grad().
-_scatter_free = os.environ.get("SLIDE_TPU_SCATTER_FREE_GRAD", "0") == "1"
-
-
-def set_scatter_free_grad(on: bool) -> bool:
-    """Enable/disable the sort-based gather backward; returns previous."""
-    global _scatter_free
-    prev = _scatter_free
-    if prev != bool(on):
-        _scatter_free = bool(on)
-        # the flag is read at TRACE time: drop cached traces/executables so
-        # already-jitted steps can't silently keep the stale behavior
-        import jax
-        jax.clear_caches()
-    return prev
-
-
-@functools.lru_cache(maxsize=None)
-def _gather_rows_sf_for(n: int):
-    """Gather-rows op whose VJP is scatter-free, specialized to N=n rows
-    (n must be static for the backward's searchsorted targets)."""
-
-    @jax.custom_vjp
-    def gather_rows(points, flat_idx):
-        return jnp.take_along_axis(points,
-                                   flat_idx[..., None].astype(jnp.int32),
-                                   axis=1)
-
-    def fwd(points, flat_idx):
-        return gather_rows(points, flat_idx), flat_idx
-
-    def bwd(flat_idx, g):
-        b, mk = flat_idx.shape
-        c = g.shape[-1]
-        order = jnp.argsort(flat_idx.astype(jnp.int32), axis=1)
-        sidx = jnp.take_along_axis(flat_idx.astype(jnp.int32), order, axis=1)
-        gs = jnp.take_along_axis(g, order[..., None],
-                                 axis=1).astype(jnp.float32)
-        # per-point segment sums via prefix-sum differencing: the hits of
-        # point p are contiguous in sorted order,
-        # d[p] = cum[end_p] - cum[start_p]  (f32; see module note on error)
-        cum = jnp.concatenate([jnp.zeros((b, 1, c), jnp.float32),
-                               jnp.cumsum(gs, axis=1)], axis=1)
-        pts = jnp.arange(n, dtype=jnp.int32)
-        start = jax.vmap(lambda s: jnp.searchsorted(s, pts, side="left"))(sidx)
-        end = jax.vmap(lambda s: jnp.searchsorted(s, pts, side="right"))(sidx)
-        d = (jnp.take_along_axis(cum, end[..., None].astype(jnp.int32), axis=1)
-             - jnp.take_along_axis(cum, start[..., None].astype(jnp.int32),
-                                   axis=1))
-        return d.astype(g.dtype), None
-
-    gather_rows.defvjp(fwd, bwd)
-    return gather_rows
+# Round-3 built an opt-in "scatter-free" gather backward (sort + prefix-sum
+# + searchsorted differencing) on the theory that XLA's scatter-add VJP was
+# the AE backward's cost.  The round-4 clean-chip microprobe
+# (benchmarks/profile_ae.py) refuted it: the sort-based backward ran 2x
+# SLOWER than the native scatter-add (0.104 s vs 0.050 s on the grouped
+# 1024x32 grad) and made the full AE step 33% slower (0.636 s vs 0.478 s),
+# so it was deleted — VERDICT r3 item 3's "or delete it" arm.  The XLA
+# scatter-add VJP is the production backward.
 
 
 def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     """out[b, m, :] = points[b, idx[b, m], :].  (B, N, C) x (B, M) -> (B, M, C)."""
-    if _scatter_free:
-        return _gather_rows_sf_for(points.shape[1])(points, idx)
     return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1)
 
 

@@ -88,78 +88,3 @@ def test_three_interpolate_weighted_sum():
     np.testing.assert_allclose(out, [[[0.5 + 0.5 + 1.0]]])
 
 
-def test_scatter_free_gather_backward_exact():
-    """The sort+prefix-sum gather backward must match autodiff's scatter-add
-    exactly (same segment sums), including heavily duplicated indices."""
-    from slide_tpu.ops.grouping import set_scatter_free_grad
-
-    rng = np.random.default_rng(3)
-    pts = jnp.asarray(rng.normal(size=(2, 32, 6)).astype(np.float32))
-    # skewed duplicates: most groups hit point 0
-    idx = jnp.asarray(np.concatenate(
-        [np.zeros((2, 8, 3), np.int64),
-         rng.integers(0, 32, size=(2, 8, 3))], axis=1).astype(np.int32))
-
-    def loss(p):
-        return jnp.sum(jnp.sin(group_points(p, idx)) ** 2)
-
-    g_ref = jax.grad(loss)(pts)
-    prev = set_scatter_free_grad(True)
-    try:
-        g_sf = jax.grad(loss)(pts)
-    finally:
-        set_scatter_free_grad(prev)
-    np.testing.assert_allclose(np.asarray(g_sf), np.asarray(g_ref),
-                               rtol=1e-5, atol=1e-5)
-
-
-def test_scatter_free_gather_backward_bf16_and_interp():
-    """bf16 cotangents accumulate in f32; three_interpolate rides the same
-    path via group_points."""
-    from slide_tpu.ops.grouping import set_scatter_free_grad
-
-    rng = np.random.default_rng(4)
-    feats = jnp.asarray(rng.normal(size=(1, 16, 4)).astype(np.float32))
-    known = jnp.asarray(rng.normal(size=(1, 16, 3)).astype(np.float32))
-    q = jnp.asarray(rng.normal(size=(1, 24, 3)).astype(np.float32))
-    dist, idx = three_nn(q, known)
-    w = interp_weights_from_dists(dist)
-
-    def loss(f):
-        return jnp.sum(three_interpolate(f.astype(jnp.bfloat16), idx,
-                                         w.astype(jnp.bfloat16))
-                       .astype(jnp.float32) ** 2)
-
-    g_ref = jax.grad(loss)(feats)
-    prev = set_scatter_free_grad(True)
-    try:
-        g_sf = jax.grad(loss)(feats)
-    finally:
-        set_scatter_free_grad(prev)
-    np.testing.assert_allclose(np.asarray(g_sf), np.asarray(g_ref),
-                               rtol=2e-2, atol=2e-2)
-
-
-def test_scatter_free_gather_backward_production_size_error_bound():
-    """At the AE's production gather size (32k cotangents into 2048 rows) the
-    prefix-differencing error stays ~1e-4 absolute for unit-scale cotangents
-    (see the module note — not bit-exact, negligible vs gradient noise)."""
-    from slide_tpu.ops.grouping import set_scatter_free_grad
-
-    rng = np.random.default_rng(5)
-    n, m, k, c = 2048, 1024, 32, 8
-    pts = jnp.asarray(rng.normal(size=(1, n, c)).astype(np.float32))
-    idx = jnp.asarray(rng.integers(0, n, size=(1, m, k)).astype(np.int32))
-    ct = jnp.asarray(rng.normal(size=(1, m, k, c)).astype(np.float32))
-
-    def loss(p):
-        return jnp.vdot(group_points(p, idx), ct)
-
-    g_ref = jax.grad(loss)(pts)          # scatter-add autodiff
-    prev = set_scatter_free_grad(True)
-    try:
-        g_sf = jax.grad(loss)(pts)
-    finally:
-        set_scatter_free_grad(prev)
-    err = float(jnp.max(jnp.abs(g_sf - g_ref)))
-    assert err < 5e-4, err
