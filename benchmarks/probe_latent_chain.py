@@ -141,6 +141,29 @@ def main(b=40, t_steps=1000):
         res["decode_bf16_s"] = timeit(
             lambda i: jdec16(lat_out, jax.random.fold_in(jax.random.key(5), i)))
 
+    # fused Pallas latent denoiser (inference-only — round 3 killed only its
+    # BACKWARD on VMEM grounds; the forward kernel is the e2e bench's
+    # default latent path).  This is the VERDICT r3 item-4 comparison.
+    from slide_tpu.models.fused_denoiser import make_fused_net_fn
+    fused = make_fused_net_fn(lat_cfg["pointnet_config"], lat_vars["params"],
+                              16, block_b=40)
+    if fused is not None and fused.batch_ok(b):
+        from slide_tpu.diffusion.x0 import x0_denoise
+
+        def denoise_fused(k):
+            def net_fn(x, ts):
+                return fused(x, ts, lbl)
+            return x0_denoise(net_fn, k, (b, 16, 3 + feat_dim), sched,
+                              keypoint=kp, keypoint_dim=3)
+
+        jdf = jax.jit(denoise_fused)
+        res["denoise_fused_s"] = timeit(
+            lambda i: jdf(jax.random.fold_in(key, i)))
+        res["speedup_fused_vs_f32"] = (res["denoise_f32_s"]
+                                       / res["denoise_fused_s"])
+    else:
+        res["denoise_fused_s"] = None
+
     print(json.dumps({k: (round(v, 6) if isinstance(v, float) else v)
                       for k, v in res.items()}))
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
