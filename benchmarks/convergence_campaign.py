@@ -76,6 +76,14 @@ def _latest_ckpt(exp_root):
     return load_checkpoint(os.path.dirname(best), None), best
 
 
+def _loss_span(losses, fmt=".4f"):
+    """First->last logged loss, tolerant of an empty log (a resumed run
+    that had no new full batches logs nothing — crashed stage_kp once)."""
+    if not losses:
+        return "loss n/a (no new steps — already at target iteration)"
+    return f"loss {losses[0][1]:{fmt}} -> {losses[-1][1]:{fmt}}"
+
+
 def _tune(cfg, exp_name, steps, *, batch_size=None, log_every=200):
     """Point a preset config at the campaign corpus/exp dirs and size the
     epoch math so run_training does exactly `steps` iterations with a final
@@ -128,8 +136,7 @@ def stage_kp(steps=20000):
     t0 = time.time()
     state, losses = train_position_ddpm(cfg, max_iters=steps)
     print(f"kp: {steps} steps in {time.time()-t0:.0f}s "
-          f"({steps/(time.time()-t0):.1f} steps/s), "
-          f"loss {losses[0][1]:.4f} -> {losses[-1][1]:.4f}")
+          f"({steps/(time.time()-t0):.1f} steps/s), {_loss_span(losses)}")
 
 
 def stage_ae(steps=30000):
@@ -138,8 +145,7 @@ def stage_ae(steps=30000):
     cfg, steps = _tune(autoencoder_config(CATEGORIES[0]), "ae", steps)
     t0 = time.time()
     state, losses = train_autoencoder(cfg, max_iters=steps)
-    print(f"ae: {steps} steps in {time.time()-t0:.0f}s, "
-          f"loss {losses[0][1]:.4f} -> {losses[-1][1]:.4f}")
+    print(f"ae: {steps} steps in {time.time()-t0:.0f}s, {_loss_span(losses)}")
 
 
 def stage_lat(steps=30000):
@@ -151,8 +157,7 @@ def stage_lat(steps=30000):
     t0 = time.time()
     state, losses = train_latent_ddpm(cfg, ckpt["model_state_dict"],
                                       max_iters=steps)
-    print(f"lat: {steps} steps in {time.time()-t0:.0f}s, "
-          f"loss {losses[0][1]:.4f} -> {losses[-1][1]:.4f}")
+    print(f"lat: {steps} steps in {time.time()-t0:.0f}s, {_loss_span(losses)}")
 
 
 def stage_sap(steps=10000):
@@ -181,7 +186,7 @@ def stage_sap(steps=10000):
     t0 = time.time()
     state, losses = train_upsampler(cfg, ae_params=ae_params, max_iters=steps)
     print(f"sap: {steps} steps in {time.time()-t0:.0f}s, "
-          f"loss {losses[0][1]:.6f} -> {losses[-1][1]:.6f}")
+          f"{_loss_span(losses, '.6f')}")
 
 
 def _test_clouds(n, npoints=2048):
