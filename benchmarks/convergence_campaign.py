@@ -244,7 +244,7 @@ def stage_aediag(n_samples=200):
 
     enc_dec = jax.jit(enc_dec)
     cd_fn = jax.jit(lambda a, bb: calc_cd(a, bb)["cd_p"])
-    b = 40
+    b = min(40, n_samples)
     key = jax.random.key(31)
     recon, rec_cd = [], []
     for i in range(n_samples // b):
@@ -279,7 +279,7 @@ def stage_aediag(n_samples=200):
 
 
 def stage_eval(n_samples=400, t_steps=1000, metric_points=2048,
-               with_emd=None, fastdpm_lengths=(50, 100)):
+               with_emd=None, fastdpm_lengths=(50, 100), batch=40):
     """Generate n_samples through the trained pipeline and run the metric
     suite at BOTH levels: keypoints (16 pts) and full clouds (2048 pts).
 
@@ -305,7 +305,7 @@ def stage_eval(n_samples=400, t_steps=1000, metric_points=2048,
     from slide_tpu.ops import sample_keypoints
 
     report = {}
-    b = 40            # batch tile 40 is the proven fused-kernel VMEM size
+    b = min(batch, n_samples)   # tile 40 is the proven fused-kernel VMEM size
     kp_ck, kp_path = _latest_ckpt(os.path.join(EXPS, "kp"))
     print("kp ckpt:", kp_path)
     # EMA shadow 0 if present (the reference evaluates EMA models)

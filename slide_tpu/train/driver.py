@@ -12,6 +12,7 @@ jitted step (the reference calls pytorch3d CUDA FPS per batch,
 
 from __future__ import annotations
 
+import contextlib
 import os
 import time
 from typing import Callable, Optional
@@ -668,6 +669,26 @@ def _init_state(params, optimizer, ema_rates) -> TrainState:
                       ema=ema_init(params, ema_rates))
 
 
+def _host_init_device():
+    """Device scope for model/optimizer init.
+
+    flax `Module.init` runs EAGERLY (it is not jitted), so against a remote
+    accelerator tunnel every one of its thousands of small ops pays a full
+    round trip (~30 ms sync floor) plus a first-time remote compile — a
+    full-size autoencoder init measured 35+ minutes on the tunnel vs seconds
+    on the host CPU (round-4 campaign hang).  Trace init on CPU instead;
+    `run_training` device_puts the state onto the mesh, so nothing else
+    changes.  No-op when CPU already is the backend (tests) or when no CPU
+    platform is registered."""
+    if jax.default_backend() == "cpu":
+        return contextlib.nullcontext()
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)
+
+
 def _apply_precision(train_config: dict) -> None:
     """Honor `train_config["activation_dtype"]` ("bfloat16" halves the HBM
     traffic of the bandwidth-bound AE/SAP steps — nn/precision.py; params,
@@ -706,10 +727,12 @@ def train_position_ddpm(config: dict, *, data_dir: Optional[str] = None,
     in_dim = 3 + config["pointnet_config"]["in_fea_dim"]
     cond0 = jnp.zeros((2, trainset_config["num_keypoints"], 3)) \
         if task == "keypoint_conditional_generation" else None
-    variables = net.init(jax.random.key(seed), jnp.zeros((2, npts, in_dim)),
-                         condition=cond0, ts=jnp.zeros((2,), jnp.int32),
-                         label=jnp.zeros((2,), jnp.int32))
-    state = _init_state(variables["params"], optimizer, ema_rates)
+    with _host_init_device():
+        variables = net.init(jax.random.key(seed),
+                             jnp.zeros((2, npts, in_dim)),
+                             condition=cond0, ts=jnp.zeros((2,), jnp.int32),
+                             label=jnp.zeros((2,), jnp.int32))
+        state = _init_state(variables["params"], optimizer, ema_rates)
     mesh = mesh or make_data_mesh()
     fused_apply = None
     if task == "keypoint_generation":     # conditionless fixed-N hot path
@@ -792,12 +815,14 @@ def train_autoencoder(config: dict, *, data_dir: Optional[str] = None,
 
     npts = trainset_config["npoints"]
     k = trainset_config["num_keypoints"]
-    variables = ae.init(
-        {"params": jax.random.key(seed), "gaussian": jax.random.key(seed + 1),
-         "fps": jax.random.key(seed + 2)},
-        jnp.zeros((2, npts, 6)), jnp.zeros((2, k, 3)),
-        label=jnp.zeros((2,), jnp.int32))
-    state = _init_state(variables["params"], optimizer, ema_rates)
+    with _host_init_device():
+        variables = ae.init(
+            {"params": jax.random.key(seed),
+             "gaussian": jax.random.key(seed + 1),
+             "fps": jax.random.key(seed + 2)},
+            jnp.zeros((2, npts, 6)), jnp.zeros((2, k, 3)),
+            label=jnp.zeros((2,), jnp.int32))
+        state = _init_state(variables["params"], optimizer, ema_rates)
     step = make_ae_train_step(ae, optimizer, ema_rates, trainset_config)
     if eval_hook == "auto":
         eval_hook = make_ae_eval_hook(config, ae, data_dir=data_dir, seed=seed)
@@ -906,9 +931,11 @@ def train_upsampler(config: dict, *, ae_params=None,
 
     npts = trainset_config["npoints"]
     in_dim = 3 + pc["in_fea_dim"]
-    variables = net.init(jax.random.key(seed), jnp.zeros((2, npts, in_dim)),
-                         ts=None, label=jnp.zeros((2,), jnp.int32))
-    state = _init_state(variables["params"], optimizer, ema_rates)
+    with _host_init_device():
+        variables = net.init(jax.random.key(seed),
+                             jnp.zeros((2, npts, in_dim)),
+                             ts=None, label=jnp.zeros((2,), jnp.int32))
+        state = _init_state(variables["params"], optimizer, ema_rates)
     step = make_upsampler_train_step(net, dpsr, optimizer, ema_rates,
                                      trainset_config, dpsr_config, pc,
                                      ae=ae, ae_params=ae_params,
@@ -984,10 +1011,11 @@ def train_latent_ddpm(config: dict, ae_params, *, data_dir: Optional[str] = None
 
     k = trainset_config["num_keypoints"]
     in_dim = 3 + config["pointnet_config"]["in_fea_dim"]
-    variables = net.init(jax.random.key(seed), jnp.zeros((2, k, in_dim)),
-                         ts=jnp.zeros((2,), jnp.int32),
-                         label=jnp.zeros((2,), jnp.int32))
-    state = _init_state(variables["params"], optimizer, ema_rates)
+    with _host_init_device():
+        variables = net.init(jax.random.key(seed), jnp.zeros((2, k, in_dim)),
+                             ts=jnp.zeros((2,), jnp.int32),
+                             label=jnp.zeros((2,), jnp.int32))
+        state = _init_state(variables["params"], optimizer, ema_rates)
     mesh = mesh or make_data_mesh()
     fused_apply = maybe_fused_train_apply(
         config["pointnet_config"], k, trainset_config["batch_size"], mesh)
