@@ -35,6 +35,12 @@ ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 DATA = os.path.join(ROOT, "data")
 SAP_DATA = os.path.join(ROOT, "sap_data")
 EXPS = os.path.join(ROOT, "exps")
+# durable (git-tracked) checkpoint mirror: two round-4 VM resets wiped the
+# gitignored runs/ tree and with it whole campaigns — every save is mirrored
+# here (train/checkpoint.py::mirror_checkpoint) and _latest_ckpt falls back
+# to the mirror, so a reset costs a restore instead of the round
+DURABLE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results", "ckpts")
 
 # The reference's 5 trained categories (README.md:86-135); the synthetic
 # corpus gives each a separable shape distribution (data/synthetic.py
@@ -70,8 +76,13 @@ def _latest_ckpt(exp_root):
     from slide_tpu.train.checkpoint import load_checkpoint
     paths = glob.glob(os.path.join(exp_root, "**", "pointnet_ckpt_*.pkl"),
                       recursive=True)
+    # VM-reset fallback: the durable mirror under benchmarks/results/ckpts/
+    # survives a wiped runs/ tree
+    paths += glob.glob(os.path.join(DURABLE, os.path.basename(exp_root),
+                                    "pointnet_ckpt_*.pkl"))
     if not paths:
-        raise FileNotFoundError(f"no checkpoint under {exp_root}")
+        raise FileNotFoundError(f"no checkpoint under {exp_root} (or its "
+                                f"durable mirror)")
     best = max(paths, key=lambda p: int(p.rsplit("_", 1)[1].split(".")[0]))
     return load_checkpoint(os.path.dirname(best), None), best
 
@@ -109,6 +120,13 @@ def _tune(cfg, exp_name, steps, *, batch_size=None, log_every=200):
     # bf16 activations (f32 params/stats/distances — nn/precision.py): the
     # AE/latent steps are HBM-bandwidth-bound (benchmarks/profile_ae.py)
     tc["activation_dtype"] = "bfloat16"
+    # device-resident corpus (data/device_corpus.py): the host pipeline cost
+    # ~320 ms/step through the tunnel (round-4 sprint ran 20x below the
+    # device rate); with the split in HBM the per-chunk transfer is a (K, B)
+    # int32 index array and assembly fuses into the training scan
+    tc["device_data"] = True
+    tc["steps_per_dispatch"] = 32
+    tc["durable_ckpt_dir"] = os.path.join(DURABLE, exp_name)
     return cfg, steps
 
 
@@ -176,6 +194,9 @@ def stage_sap(steps=10000):
     tc["epochs_per_ckpt"] = max(1, steps // 2) / loader_len
     tc["iters_per_logging"] = 50
     tc["activation_dtype"] = "bfloat16"     # see _tune
+    tc["device_data"] = True                # 60x128^3 grids = 503 MB in HBM
+    tc["steps_per_dispatch"] = 16
+    tc["durable_ckpt_dir"] = os.path.join(DURABLE, "sap")
     ae_params = None
     try:
         ckpt, path = _latest_ckpt(os.path.join(EXPS, "ae"))
@@ -308,8 +329,16 @@ def stage_eval(n_samples=400, t_steps=1000, metric_points=2048,
     b = min(batch, n_samples)   # tile 40 is the proven fused-kernel VMEM size
     kp_ck, kp_path = _latest_ckpt(os.path.join(EXPS, "kp"))
     print("kp ckpt:", kp_path)
-    # EMA shadow 0 if present (the reference evaluates EMA models)
-    kp_params = (kp_ck.get("ema_state_list") or [kp_ck["model_state_dict"]])[0]
+    # EMA-or-raw selection by shadow maturity: an immature shadow (rate 0.999
+    # at ~1k steps is still ~30% random init) produced round-4's exploded
+    # generations (gen_kp_std 6.75). select_eval_params falls back to raw
+    # params until 1 - rate**n >= 0.95 (VERDICT r4 item 2).
+    from slide_tpu.train.ema import select_eval_params_from_ckpt
+    kp_rates = tuple(keypoint_ddpm_config(CATEGORIES[0])["train_config"]
+                     .get("ema_rate") or ())
+    kp_params, kp_sel = select_eval_params_from_ckpt(kp_ck, kp_rates)
+    print(f"kp eval params: {kp_sel} (iter {kp_ck['iter']})")
+    report["kp_eval_params"] = kp_sel
 
     kp_cfg = keypoint_ddpm_config(CATEGORIES[0])
     kp_cfg["diffusion_config"]["T"] = t_steps
@@ -379,8 +408,11 @@ def stage_eval(n_samples=400, t_steps=1000, metric_points=2048,
         _write(report)
         return report
     print("lat ckpt:", lat_path, "| ae ckpt:", ae_path)
-    lat_params = (lat_ck.get("ema_state_list")
-                  or [lat_ck["model_state_dict"]])[0]
+    lat_rates = tuple(latent_ddpm_config(CATEGORIES[0])["train_config"]
+                      .get("ema_rate") or ())
+    lat_params, lat_sel = select_eval_params_from_ckpt(lat_ck, lat_rates)
+    print(f"lat eval params: {lat_sel} (iter {lat_ck['iter']})")
+    report["lat_eval_params"] = lat_sel
     ae_params = ae_ck["model_state_dict"]
 
     lat_cfg = latent_ddpm_config(CATEGORIES[0])

@@ -20,47 +20,73 @@ import jax
 import numpy as np
 
 
+# transient device copy bound per packed fetch: the concatenate materializes
+# one extra copy of the chunk, so an unbounded pack of params+opt+EMA would
+# spike HBM by the full state size — near-capacity AE runs could OOM at save
+_PACK_CHUNK_BYTES = 256 << 20
+
+
 @jax.jit
-def _pack_groups(groups):
-    """Concatenate each group of same-dtype leaves into ONE flat device
-    array, so the host fetch is one transfer per dtype instead of one per
-    leaf (module-level jit: retraced once per state structure, cached for
-    every later checkpoint of the same run)."""
+def _pack_concat(leaves):
+    """Concatenate one chunk of same-(device,dtype) leaves into ONE flat
+    device array (module-level jit: retraced once per chunk structure,
+    cached for every later checkpoint of the same run)."""
     import jax.numpy as jnp
-    return [jnp.concatenate([jnp.ravel(x) for x in g]) for g in groups]
+    return jnp.concatenate([jnp.ravel(x) for x in leaves])
 
 
 def _fetch_tree(tree):
-    """Device pytree -> host numpy pytree with O(dtypes) transfers.
+    """Device pytree -> host numpy pytree with O(dtypes * chunks) transfers.
 
     Through the remote-tunnel backend every per-leaf ``np.asarray`` pays the
     ~30-40 ms per-call sync floor, so a few-hundred-leaf train state costs
     minutes per checkpoint (measured on the round-4 runtime: the keypoint
     DDPM save took ~150 s and the AE save never finished inside its stage
-    timeout).  Packing all leaves into one flat device array per dtype under
-    jit makes the save bandwidth-bound instead."""
+    timeout).  Packing leaves into flat device arrays under jit makes the
+    save bandwidth-bound instead.  Leaves are grouped by (devices, dtype) —
+    mixed-placement trees (some leaves left on CPU from host init) must not
+    meet in one concatenate — and each group is packed in <=256 MB chunks to
+    bound the transient device copy; any pack failure falls back to the
+    per-leaf path for that chunk."""
     leaves, treedef = jax.tree.flatten(tree)
-    dev_idx = [i for i, x in enumerate(leaves) if isinstance(x, jax.Array)]
-    if not dev_idx:
-        return jax.tree.map(np.asarray, tree)
-    dev_set = set(dev_idx)
     out = [None] * len(leaves)
-    for i, x in enumerate(leaves):
-        if i not in dev_set:
-            out[i] = np.asarray(x)
     groups: dict = {}
-    for i in dev_idx:
-        groups.setdefault(np.dtype(leaves[i].dtype), []).append(i)
-    idx_groups = list(groups.values())
-    packed = _pack_groups([[leaves[i] for i in idxs] for idxs in idx_groups])
-    for idxs, flat in zip(idx_groups, packed):
-        host = np.asarray(flat)                  # ONE fetch per dtype
-        off = 0
+    for i, x in enumerate(leaves):
+        if not isinstance(x, jax.Array):
+            out[i] = np.asarray(x)
+            continue
+        try:
+            devkey = tuple(sorted(str(d) for d in x.devices()))
+        except Exception:                                     # noqa: BLE001
+            devkey = ("?",)
+        groups.setdefault((devkey, np.dtype(x.dtype)), []).append(i)
+    for (_devkey, dtype), idxs in groups.items():
+        chunks, chunk, chunk_bytes = [], [], 0
         for i in idxs:
-            shp = leaves[i].shape
-            n = int(np.prod(shp)) if shp else 1
-            out[i] = host[off:off + n].reshape(shp)
-            off += n
+            n_bytes = int(leaves[i].size) * dtype.itemsize
+            if chunk and chunk_bytes + n_bytes > _PACK_CHUNK_BYTES:
+                chunks.append(chunk)
+                chunk, chunk_bytes = [], 0
+            chunk.append(i)
+            chunk_bytes += n_bytes
+        if chunk:
+            chunks.append(chunk)
+        for ch in chunks:
+            if len(ch) == 1:
+                out[ch[0]] = np.asarray(leaves[ch[0]])
+                continue
+            try:
+                host = np.asarray(_pack_concat([leaves[i] for i in ch]))
+            except Exception:                                 # noqa: BLE001
+                for i in ch:                   # per-leaf fallback, still saves
+                    out[i] = np.asarray(leaves[i])
+                continue
+            off = 0
+            for i in ch:
+                shp = leaves[i].shape
+                n = int(np.prod(shp)) if shp else 1
+                out[i] = host[off:off + n].reshape(shp)
+                off += n
     return jax.tree.unflatten(treedef, out)
 
 
@@ -122,6 +148,50 @@ def save_checkpoint(output_dir: str, n_iter: int, params, opt_state,
         pickle.dump(states, f)
     os.replace(tmp, path)
     return path
+
+
+def mirror_checkpoint(path: str, durable_dir: str, keep: int = 1) -> str:
+    """Copy a just-saved checkpoint into a durable (git-tracked) directory,
+    pruning older mirrored iterations so the tracked tree only ever holds the
+    newest `keep`.
+
+    Two VM resets in round 4 each wiped the gitignored runs/ tree and with it
+    every training checkpoint — whole campaigns restarted from scratch.  The
+    mirror makes a reset cost minutes (restore + resume) instead of the round
+    (VERDICT r4 item 1a).  Copy is write-then-rename so a reset mid-copy
+    cannot leave a truncated pickle as the restore candidate."""
+    import shutil
+    os.makedirs(durable_dir, exist_ok=True)
+    name = os.path.basename(path)
+    dst = os.path.join(durable_dir, name)
+    tmp = dst + ".tmp"
+    shutil.copyfile(path, tmp)
+    os.replace(tmp, dst)
+    ckpt_name = name.rsplit("_", 1)[0]
+    for it in sorted(_list_iters(durable_dir, ckpt_name))[:-max(1, keep)]:
+        try:
+            os.remove(os.path.join(durable_dir, f"{ckpt_name}_{it}.pkl"))
+        except OSError:
+            pass
+    return dst
+
+
+def restore_from_mirror(output_dir: str, durable_dir: str,
+                        ckpt_name: str = "pointnet_ckpt") -> Optional[str]:
+    """If `output_dir` has no checkpoint (e.g. a VM reset wiped runs/) but the
+    durable mirror has one, copy the newest mirrored checkpoint back so
+    resume-by-default picks it up.  Returns the restored path or None."""
+    if _list_iters(output_dir, ckpt_name):
+        return None
+    mirrored = _list_iters(durable_dir, ckpt_name)
+    if not mirrored:
+        return None
+    import shutil
+    name = f"{ckpt_name}_{max(mirrored)}.pkl"
+    os.makedirs(output_dir, exist_ok=True)
+    dst = os.path.join(output_dir, name)
+    shutil.copyfile(os.path.join(durable_dir, name), dst)
+    return dst
 
 
 def load_checkpoint(output_dir: str, n_iter: Optional[int] = None,

@@ -31,7 +31,8 @@ from slide_tpu.diffusion.x0 import X0Schedule
 from slide_tpu.models import ConditionalPointNet2, PointAutoencoder
 from slide_tpu.ops import sample_keypoints
 from slide_tpu.nn.precision import set_activation_dtype
-from slide_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from slide_tpu.train.checkpoint import (load_checkpoint, mirror_checkpoint,
+                                        restore_from_mirror, save_checkpoint)
 from slide_tpu.train.ema import ema_init, ema_update
 
 
@@ -159,6 +160,15 @@ def run_training(config: dict, state: TrainState, train_step: Callable, *,
     ckpt_iter = -1
     ema_rates = tuple(train_config.get("ema_rate") or ())
     ckpt_sel = train_config.get("ckpt_iter")
+    # durable mirror (no reference counterpart): checkpoints additionally
+    # copied into a git-tracked dir so a VM reset wiping the (gitignored)
+    # experiment tree costs a restore, not the training run
+    durable_dir = train_config.get("durable_ckpt_dir")
+    if durable_dir and jax.process_index() == 0 and ckpt_sel == "max":
+        restored = restore_from_mirror(output_directory, durable_dir)
+        if restored and verbose:
+            print(f"restored checkpoint from durable mirror: {restored}",
+                  flush=True)
     if ckpt_sel == "max" or isinstance(ckpt_sel, int):
         ckpt = load_checkpoint(output_directory,
                                None if ckpt_sel == "max" else ckpt_sel)
@@ -194,6 +204,27 @@ def run_training(config: dict, state: TrainState, train_step: Callable, *,
     base_key = jax.random.key(seed + 1)
     stacked_sh = NamedSharding(mesh, P(None, "data"))
 
+    # under jax.distributed each process loads its rank's shard (the data
+    # layer's rank/world_size split); batch assembly goes through
+    # make_array_from_process_local_data in _device_batch
+    rank, world = jax.process_index(), jax.process_count()
+    loader = get_dataloader(trainset_config, phase="train", seed=seed,
+                            rank=rank, world_size=world)
+
+    # device-resident corpus (data/device_corpus.py): the whole split lives
+    # in HBM and batch assembly fuses into the training scan — the host
+    # pipeline's per-dispatch super-batch transfer + sync floors cost
+    # ~320 ms/step through the tunnel vs 3.5 ms of device compute.
+    # Single-process only (multi-host keeps the rank-sharded host loader).
+    use_device_data = bool(train_config.get("device_data", False)) and \
+        world == 1
+    if use_device_data:
+        from slide_tpu.data.device_corpus import (DeviceCorpus,
+                                                  make_assemble_fn)
+        corpus_dev = DeviceCorpus.from_dataset(loader.dataset).device_put(repl)
+        assemble = make_assemble_fn(trainset_config)
+        data_key = jax.random.key(seed + 101)   # distinct from the step keys
+
     def multi_step(state, batches, iter_idx):
         # batches: (K, B, ...) stacked; iter_idx: (K,) global iteration ids
         def body(s, xs):
@@ -202,21 +233,29 @@ def run_training(config: dict, state: TrainState, train_step: Callable, *,
 
         return jax.lax.scan(body, state, (batches, iter_idx))
 
+    def multi_step_dev(state, corpus, idx_kb, iter_idx):
+        # idx_kb: (K, B) model indices; assembly runs inside the scan body so
+        # the chunk is ONE executable with no host-visible batch at all
+        def body(s, xs):
+            ib, i = xs
+            batch = assemble(corpus, ib, jax.random.fold_in(data_key, i))
+            return train_step(s, batch, jax.random.fold_in(base_key, i))
+
+        return jax.lax.scan(body, state, (idx_kb, iter_idx))
+
     # donation halves state memory on directly-attached devices, but on the
     # remote-tunnel backend it forces buffer round-trips costing ~4 s per
     # call (measured: 223 ms/step donated vs 5.4 ms/step without, B=32);
     # newer tunnel runtimes reject donated executions with INVALID_ARGUMENT
     from slide_tpu.utils.platform import donation_safe
     donate = (0,) if donation_safe() else ()
-    step_fn = jax.jit(multi_step, in_shardings=(repl, stacked_sh, repl),
-                      out_shardings=(repl, repl), donate_argnums=donate)
-
-    # under jax.distributed each process loads its rank's shard (the data
-    # layer's rank/world_size split); batch assembly goes through
-    # make_array_from_process_local_data in _device_batch
-    rank, world = jax.process_index(), jax.process_count()
-    loader = get_dataloader(trainset_config, phase="train", seed=seed,
-                            rank=rank, world_size=world)
+    if use_device_data:
+        step_fn = jax.jit(multi_step_dev,
+                          in_shardings=(repl, repl, stacked_sh, repl),
+                          out_shardings=(repl, repl), donate_argnums=donate)
+    else:
+        step_fn = jax.jit(multi_step, in_shardings=(repl, stacked_sh, repl),
+                          out_shardings=(repl, repl), donate_argnums=donate)
     loader_len = len(loader)
     n_iters = int(loader_len * train_config["n_epochs"])
     if max_iters is not None:
@@ -250,19 +289,27 @@ def run_training(config: dict, state: TrainState, train_step: Callable, *,
     t0 = time.time()
     log_t = time.time()
     warned_partial = False
-    pending: list[dict] = []
+    pending: list = []               # host batches, or (B,) index arrays
+    ep_rng = np.random.default_rng(seed)   # device-data epoch permutations
 
     def _dispatch(state):
         nonlocal n_iter, log_t, warned_partial
         k = len(pending)
-        stacked = {key_: np.stack([np.asarray(b[key_]) for b in pending])
-                   for key_ in pending[0]
-                   if key_ in ("points", "normals", "psr", "label")}
-        db = _device_batch(stacked, stacked_sh)
         idx = jax.device_put(
             jnp.arange(n_iter, n_iter + k, dtype=jnp.int32), repl)
-        pending.clear()
-        state, chunk_losses = step_fn(state, db, idx)
+        if use_device_data:
+            # the only per-chunk transfer: a (K, B) int32 model-index array
+            db = {"_idx": jax.device_put(
+                jnp.asarray(np.stack(pending), jnp.int32), stacked_sh)}
+            pending.clear()
+            state, chunk_losses = step_fn(state, corpus_dev, db["_idx"], idx)
+        else:
+            stacked = {key_: np.stack([np.asarray(b[key_]) for b in pending])
+                       for key_ in pending[0]
+                       if key_ in ("points", "normals", "psr", "label")}
+            db = _device_batch(stacked, stacked_sh)
+            pending.clear()
+            state, chunk_losses = step_fn(state, db, idx)
         # bound in-flight dispatches: without a sync the async queue grows
         # without backpressure and every queued chunk pins its host/device
         # batch buffers (SAP's 200 MB psr super-batches OOM-killed the host
@@ -294,10 +341,12 @@ def run_training(config: dict, state: TrainState, train_step: Callable, *,
         if n_iter % iters_per_ckpt == 0 and rank == 0:
             # params/EMA are replicated; only process 0 writes (shared
             # storage would otherwise be clobbered by every host)
-            save_checkpoint(output_directory, n_iter - 1, state.params,
-                            state.opt_state,
-                            int(time.time() - t0) + time_offset,
-                            ema_state_list=list(state.ema) if ema_rates else None)
+            path = save_checkpoint(
+                output_directory, n_iter - 1, state.params, state.opt_state,
+                int(time.time() - t0) + time_offset,
+                ema_state_list=list(state.ema) if ema_rates else None)
+            if durable_dir:
+                mirror_checkpoint(path, durable_dir)
             if eval_hook is not None:
                 if world > 1:
                     # hand hooks host copies: jitting a global (non-fully-
@@ -308,7 +357,27 @@ def run_training(config: dict, state: TrainState, train_step: Callable, *,
                     eval_hook(state.params, list(state.ema), n_iter - 1)
         return state
 
-    while n_iter < n_iters:
+    while use_device_data and n_iter < n_iters:
+        # device-data epoch: only index math happens on the host.  Full
+        # batches of a fresh permutation; the ragged tail is dropped (the
+        # host path equivalently skips partial batches).
+        n_models = len(loader.dataset)
+        if n_models // local_bs == 0:
+            raise ValueError(
+                f"no full batches of {local_bs} in the dataset — "
+                f"batch_size exceeds the usable dataset size")
+        perm = ep_rng.permutation(n_models)
+        for bi in range(n_models // local_bs):
+            if n_iter + len(pending) >= n_iters:
+                break
+            pending.append(perm[bi * local_bs:(bi + 1) * local_bs])
+            boundary = min(iters_per_ckpt - n_iter % iters_per_ckpt,
+                           n_iters - n_iter)
+            if len(pending) >= min(spd, boundary):
+                state = _dispatch(state)
+        if pending and n_iter + len(pending) >= n_iters:
+            state = _dispatch(state)
+    while not use_device_data and n_iter < n_iters:
         epoch_start_iter = n_iter
         epoch_start_pending = len(pending)
         for batch in loader:
@@ -342,9 +411,12 @@ def run_training(config: dict, state: TrainState, train_step: Callable, *,
         # the run ended off-cadence (max_iters cut, or iters_per_ckpt counts
         # skipped partial batches): persist the final state anyway so no
         # trained iterations are lost on resume/eval
-        save_checkpoint(output_directory, n_iter - 1, state.params,
-                        state.opt_state, int(time.time() - t0) + time_offset,
-                        ema_state_list=list(state.ema) if ema_rates else None)
+        path = save_checkpoint(
+            output_directory, n_iter - 1, state.params, state.opt_state,
+            int(time.time() - t0) + time_offset,
+            ema_state_list=list(state.ema) if ema_rates else None)
+        if durable_dir:
+            mirror_checkpoint(path, durable_dir)
     return state, losses
 
 

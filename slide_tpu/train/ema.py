@@ -26,3 +26,52 @@ def ema_update(shadows, params, rates):
     return tuple(
         jax.tree.map(lambda s, p: mu * s + (1.0 - mu) * p, shadow, params)
         for shadow, mu in zip(shadows, rates))
+
+
+def ema_maturity(rate: float, n_updates: int) -> float:
+    """Fraction of an EMA shadow that is trained signal.
+
+    Shadows are initialized to the RANDOM-INIT params (ema_init), so after
+    n updates the shadow still carries rate**n of random-init weight.  A
+    rate-0.999 shadow at 1,200 steps is ~30% random init — evaluating it
+    produces garbage (round-4 campaign: gen_kp_std 6.75 vs ref 0.39).  The
+    reference never hits this because it only evaluates EMA at >=0.3M
+    iterations (`train.py:273-284`)."""
+    if n_updates <= 0:
+        return 0.0
+    return 1.0 - rate ** n_updates
+
+
+def select_eval_params(params, ema_list, rates, n_updates,
+                       min_maturity: float = 0.95):
+    """Pick the parameters to EVALUATE at iteration `n_updates`: the
+    largest-rate EMA shadow whose maturity (1 - rate**n) is at least
+    `min_maturity`, falling back to the raw params when every shadow is
+    still dominated by its random-init component.
+
+    Returns (param_tree, description) where description is "raw" or
+    "ema_<rate>" for the report/log.  Guard for short training runs
+    (VERDICT r4 item 2); the reference's own eval-at-checkpoint evaluates
+    raw + every EMA separately (`train.py:273-284`), which stays the
+    behavior of the driver eval hooks — this helper is for single-model
+    evals (campaign stage_eval, bench) that must not pick an immature
+    shadow."""
+    ema_list = ema_list or ()
+    rates = tuple(rates or ())
+    best = None
+    for i, rate in enumerate(rates[:len(ema_list)]):
+        if ema_maturity(rate, n_updates) >= min_maturity:
+            if best is None or rate > rates[best]:
+                best = i
+    if best is None:
+        return params, "raw"
+    return ema_list[best], f"ema_{rates[best]}"
+
+
+def select_eval_params_from_ckpt(ckpt: dict, rates=EMA_DEFAULT_RATES,
+                                 min_maturity: float = 0.95):
+    """`select_eval_params` over a loaded checkpoint dict (train/checkpoint.py
+    contract: iter, model_state_dict [, ema_state_list])."""
+    return select_eval_params(
+        ckpt["model_state_dict"], ckpt.get("ema_state_list"), rates,
+        int(ckpt.get("iter", -1)) + 1, min_maturity=min_maturity)
