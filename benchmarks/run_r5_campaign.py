@@ -90,7 +90,8 @@ def commit(msg: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--stages", default="data,kp,ae,aediag,lat,sap,eval")
+    ap.add_argument("--stages",
+                    default="data,kp,ae,aediag,lat,sap,sapdiag,eval")
     ap.add_argument("--kp-steps", type=int, default=20000)
     ap.add_argument("--ae-steps", type=int, default=30000)
     ap.add_argument("--lat-steps", type=int, default=25000)
@@ -119,7 +120,8 @@ def main():
               ("ae", args.ae_steps, None),
               ("aediag", None, "ae"),
               ("lat", args.lat_steps, "ae"),
-              ("sap", args.sap_steps, None)]
+              ("sap", args.sap_steps, None),
+              ("sapdiag", None, "sap")]
     for name, steps, needs in trains:
         if name not in stages:
             continue
