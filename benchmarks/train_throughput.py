@@ -96,16 +96,23 @@ def _time_steps(step, state, batch, n_steps=20, warmup=True):
     donate = (0,) if donation_safe() else ()
     jmany = jax.jit(many, donate_argnums=donate)
 
+    # when donation IS active (CPU / direct TPU) every call consumes its
+    # input state — thread the returned state forward instead of reusing
+    # the donated (deleted) one
+    cur = [state]
+
     def run(n):
         idx = jnp.arange(n, dtype=jnp.int32)
-        st, loss = jmany(state, stack_batches(n), idx)    # compile + warmup
+        st, loss = jmany(cur[0], stack_batches(n), idx)   # compile + warmup
         jax.block_until_ready(loss)
+        cur[0] = st
         batches_t = stack_batches(n, salt=1)    # fresh args for the timed call
         jax.block_until_ready(batches_t)
         t0 = time.perf_counter()
-        st, loss = jmany(state, batches_t, idx)
+        st, loss = jmany(cur[0], batches_t, idx)
         # fetching a value is the only sync the tunnel cannot fake
         loss_host = np.asarray(loss)
+        cur[0] = st
         return time.perf_counter() - t0, loss_host
 
     t_n, loss = run(n_steps)
