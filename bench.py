@@ -371,9 +371,19 @@ def main():
         acc_full = rep["cloud_level"]["1-NN-CD-acc"]
         acc_fast = rep[f"fastdpm_s{fastdpm_s}"]["1-NN-CD-acc"]
         drift = abs(acc_fast - acc_full)
+        # |delta-acc| alone is insensitive when the t/f split is degenerate
+        # (acc pinned near 0.5 by the decoder-smoothness asymmetry) — also
+        # require MMD-CD within 25% of the T=1000 chain's value
+        mmd_full = rep["cloud_level"]["lgan_mmd-CD"]
+        mmd_fast = rep[f"fastdpm_s{fastdpm_s}"]["lgan_mmd-CD"]
+        mmd_ratio = mmd_fast / mmd_full if mmd_full > 0 else float("inf")
         fastdpm_gate = {"acc_t1000": round(acc_full, 4),
                         "acc_fastdpm": round(acc_fast, 4),
-                        "drift": round(drift, 4), "promoted": drift <= 0.05}
+                        "drift": round(drift, 4),
+                        "mmd_cd_t1000": round(mmd_full, 6),
+                        "mmd_cd_fastdpm": round(mmd_fast, 6),
+                        "mmd_cd_ratio": round(mmd_ratio, 3),
+                        "promoted": drift <= 0.05 and mmd_ratio <= 1.25}
         if fastdpm_gate["promoted"]:
             headline = fast["meshes_per_sec"]
             headline_metric = (f"e2e_meshes_per_sec_per_chip_fastdpm_s"
