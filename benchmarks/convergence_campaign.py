@@ -365,6 +365,9 @@ def stage_sapdiag(n_mesh=16):
         x, label = _prepare_sap_input(data, ts, dc, k_b)
         grid = to_grid(x, label)
         pts, _nrm, _nf, _nc, ovf = extract_and_sample_device(grid, k_s, 2048)
+        # extraction runs in DPSR grid space [0,1); invert refine.py:61-62's
+        # world -> grid map (world/(2*scale)/1.2 + 0.5) before the chamfer
+        pts = (np.asarray(pts) - 0.5) * 1.2 * 2.0 * ts["scale"]
         gt = jnp.asarray(np.asarray(data["points"], np.float32))
         cd = calc_cd(jnp.asarray(pts), gt)["cd_p"]
         cds.append(np.asarray(cd))
