@@ -89,11 +89,9 @@ def _fps_kernel(k: int, num_forced: int, n: int, bb: int,
     lax.fori_loop(1, k, body, start, unroll=False)
 
 
-def _pick_bb(b: int) -> int:
-    for bb in (8, 4, 2, 1):
-        if b % bb == 0:
-            return bb
-    return 1
+_BB = 8  # batch rows per grid step — Mosaic requires the second-to-last
+         # block dim be a multiple of 8 (sublanes) or equal the array dim,
+         # so the batch is zero-padded up to a multiple of 8 and trimmed
 
 
 @functools.partial(jax.jit, static_argnames=("k", "num_forced", "interpret"))
@@ -110,19 +108,29 @@ def fps_pallas(xyz: jax.Array, k: int, start_idx=0, num_forced: int = 0,
     b, n, _ = xyz.shape
     if k == 1:
         return jnp.broadcast_to(jnp.asarray(start_idx, jnp.int32), (b,))[:, None]
-    bb = _pick_bb(b)
+    bb = _BB
     start = jnp.broadcast_to(jnp.asarray(start_idx, jnp.int32), (b,))[:, None]
     xyz_t = jnp.moveaxis(xyz[..., :3].astype(jnp.float32), -1, 0)  # (3, B, N)
+
+    # pad the batch to a multiple of the 8-row tile (zero rows select index 0
+    # every round — bounded wasted work, trimmed below); without this, odd
+    # batches (25, 12, 6, ...) are rejected by the Mosaic block constraint
+    bp = -(-b // bb) * bb
+    if bp != b:
+        xyz_t = jnp.concatenate(
+            [xyz_t, jnp.zeros((3, bp - b, n), jnp.float32)], axis=1)
+        start = jnp.concatenate(
+            [start, jnp.zeros((bp - b, 1), jnp.int32)], axis=0)
 
     kernel = functools.partial(_fps_kernel, k, num_forced, n, bb)
     out = pl.pallas_call(
         kernel,
-        grid=(b // bb,),
+        grid=(bp // bb,),
         in_specs=[pl.BlockSpec((3, bb, n), lambda i: (0, i, 0)),
                   pl.BlockSpec((bb, 1), lambda i: (i, 0))],
         out_specs=pl.BlockSpec((bb, k), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, k), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((bp, k), jnp.int32),
         scratch_shapes=[pltpu.VMEM((bb, n), jnp.float32)],
         interpret=interpret,
     )(xyz_t, start)
-    return out
+    return out[:b] if bp != b else out

@@ -55,6 +55,20 @@ def test_pallas_odd_shapes(b, n, k):
         np.asarray(_fps_scan(pts, k, start_idx=starts)))
 
 
+@pytest.mark.parametrize("b", [25, 12, 6, 9, 1])
+def test_pallas_batch_padding(b):
+    # batches that are not a multiple of the 8-row tile are zero-padded and
+    # trimmed (Mosaic rejects block dims not divisible by 8 / not equal to
+    # the array dim — a B=25 AE encode crashed on hardware pre-fix); the
+    # padding path runs in interpret mode too, so this pins its semantics
+    rng = np.random.default_rng(11)
+    pts = jnp.asarray(rng.standard_normal((b, 96, 3)).astype(np.float32))
+    starts = jnp.asarray(rng.integers(0, 96, b).astype(np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(fps_pallas(pts, 24, start_idx=starts, interpret=True)),
+        np.asarray(_fps_scan(pts, 24, start_idx=starts)))
+
+
 def test_grad_flows_around_kernel():
     # the AE loss differentiates through gathers of FPS indices; the kernel
     # input must be stop_gradient-ed (pallas_call has no JVP rule) while the
