@@ -106,6 +106,14 @@ def _time_steps(step, state, batch, n_steps=20, warmup=True):
         st, loss = jmany(cur[0], stack_batches(n), idx)   # compile + warmup
         jax.block_until_ready(loss)
         cur[0] = st
+        # second warmup with the FED-BACK state: feeding step outputs back as
+        # inputs compiles a SECOND executable for XLA's custom output layouts
+        # (round-2 operating note, ~70-90 s on big train steps); without this
+        # the layout recompile lands inside the timed region and t_N > t_2N,
+        # clamping device_sec_per_step to 0
+        st, loss = jmany(cur[0], stack_batches(n, salt=2), idx)
+        jax.block_until_ready(loss)
+        cur[0] = st
         batches_t = stack_batches(n, salt=1)    # fresh args for the timed call
         jax.block_until_ready(batches_t)
         t0 = time.perf_counter()
