@@ -79,6 +79,27 @@ def _build_tables():
 _TRI_T, _NTRI_T, _EBASE_T, _ECLS_T = _build_tables()
 
 
+@functools.lru_cache(maxsize=None)
+def _payload_table(r1: int, r2: int):
+    """(6, 16, 6) f32 table: PAY[tet, case, k*3+j] = D[base_corner]*7 + cls,
+    where D[c] is the linear-index offset of cube corner c for the given
+    grid strides and (base_corner, cls) come from the static case tables.
+    Small-table GATHERS over (C,6,2,3) lanes are ~70x slower than arithmetic
+    on the VPU (the count_cells_and_faces lesson); contracting this table
+    with a one-hot of the case code instead runs on the MXU.  Values are
+    < 7*(r1*r2+r2+2) < 2^24, exact in f32 (the contraction must run at
+    precision=HIGHEST so the table is never truncated to bf16)."""
+    d = (_CORNERS[:, 0] * (r1 * r2) + _CORNERS[:, 1] * r2
+         + _CORNERS[:, 2]).astype(np.int64)                  # (8,)
+    loc_edge = np.maximum(_TRI_T, 0)                         # (16, 2, 3)
+    pay = np.zeros((6, 16, 6), np.float32)
+    for t in range(6):
+        base = _EBASE_T[t][loc_edge]                         # (16, 2, 3)
+        cls = _ECLS_T[t][loc_edge]
+        pay[t] = (d[base] * 7 + cls).reshape(16, 6).astype(np.float32)
+    return pay
+
+
 def _nth_true_indices(mask_flat, budget):
     """Indices of the first `budget` True entries of a flat bool mask
     (cumsum + searchsorted; gather-only, no scatters).  Returns (ids, count);
@@ -111,39 +132,56 @@ def marching_tetrahedra_device(vol, level=0.0, *, f_max: int = 262144,
     inside = vol > level
 
     # ---- active cells ------------------------------------------------------
-    icount = jnp.zeros((r0 - 1, r1 - 1, r2 - 1), jnp.int32)
+    # bool any/all over the 8 shifted corner masks (same semantics as
+    # 0 < inside-count < 8, ~2x lighter than integer adds over the dense grid)
+    any_in = jnp.zeros((r0 - 1, r1 - 1, r2 - 1), jnp.bool_)
+    all_in = jnp.ones((r0 - 1, r1 - 1, r2 - 1), jnp.bool_)
     for dx, dy, dz in _CORNERS:
-        icount = icount + inside[dx:r0 - 1 + dx, dy:r1 - 1 + dy,
-                                 dz:r2 - 1 + dz].astype(jnp.int32)
-    crossing = (icount > 0) & (icount < 8)
+        c = inside[dx:r0 - 1 + dx, dy:r1 - 1 + dy, dz:r2 - 1 + dz]
+        any_in = jnp.logical_or(any_in, c)
+        all_in = jnp.logical_and(all_in, c)
+    crossing = jnp.logical_and(any_in, jnp.logical_not(all_in))
     cid, n_cells = _nth_true_indices(crossing.reshape(-1), c_max)
     valid_c = jnp.arange(c_max) < jnp.minimum(n_cells, c_max)
     cid = jnp.where(valid_c, cid, 0)
     cx = cid // ((r1 - 1) * (r2 - 1))
     cy = (cid // (r2 - 1)) % (r1 - 1)
     cz = cid % (r2 - 1)
-    corner_lin = ((cx[:, None] + _CORNERS[:, 0]) * (r1 * r2)
-                  + (cy[:, None] + _CORNERS[:, 1]) * r2
-                  + (cz[:, None] + _CORNERS[:, 2])).astype(jnp.int32)  # (C,8)
-    corner_in = inside.reshape(-1)[corner_lin]           # (C, 8) bool
+    vlin = (cx * (r1 * r2) + cy * r2 + cz).astype(jnp.int32)   # (C,) base vert
+    d_off = jnp.asarray(_CORNERS[:, 0] * (r1 * r2) + _CORNERS[:, 1] * r2
+                        + _CORNERS[:, 2], jnp.int32)           # (8,)
+    corner_in = inside.reshape(-1)[vlin[:, None] + d_off[None, :]]  # (C,8)
 
     # ---- candidate triangles: (C, 6 tets, 2 tris) --------------------------
-    tets = jnp.asarray(_TETS, jnp.int32)                 # (6, 4)
-    tet_in = corner_in[:, tets]                          # (C, 6, 4)
-    case = jnp.sum(tet_in.astype(jnp.int32)
-                   * jnp.asarray([1, 2, 4, 8], jnp.int32), axis=-1)  # (C, 6)
-    ntri = jnp.asarray(_NTRI_T)[case]                    # (C, 6)
-    loc_edge = jnp.maximum(jnp.asarray(_TRI_T)[case], 0)  # (C, 6, 2, 3)
-    tet_idx = jnp.arange(6, dtype=jnp.int32)[None, :, None, None]
-    base_corner = jnp.asarray(_EBASE_T)[tet_idx, loc_edge]  # (C, 6, 2, 3)
-    cls = jnp.asarray(_ECLS_T)[tet_idx, loc_edge]
-    base_lin = jnp.take_along_axis(
-        corner_lin[:, None, None, :],
-        base_corner.reshape(c_max, 1, 1, -1), axis=-1
-    ).reshape(c_max, 6, 2, 3)
-    cand_key = base_lin * 7 + cls                        # (C, 6, 2, 3)
-    exists = (jnp.arange(2, dtype=jnp.int32)[None, None, :] < ntri[:, :, None]) \
-        & valid_c[:, None, None]                         # (C, 6, 2)
+    # Per-tet case code + triangle count via STATIC column slices and
+    # arithmetic (ntri(case) = min(k, 4-k), k = inside-corner count); the
+    # (base_corner, cls) tables collapse into one payload table contracted
+    # with a one-hot of the case on the MXU — no small-table gathers anywhere
+    # (they measured ~70x slower than arithmetic on dense lanes,
+    # benchmarks/results/probe_marching.json).
+    ci = corner_in.astype(jnp.float32)                   # (C, 8)
+    case_cols = []
+    ntri_cols = []
+    for t in range(6):
+        c0 = ci[:, _TETS[t][0]]
+        c1 = ci[:, _TETS[t][1]]
+        c2 = ci[:, _TETS[t][2]]
+        c3 = ci[:, _TETS[t][3]]
+        case_cols.append(c0 + 2.0 * c1 + 4.0 * c2 + 8.0 * c3)
+        k = c0 + c1 + c2 + c3
+        ntri_cols.append(jnp.minimum(k, 4.0 - k))
+    case_f = jnp.stack(case_cols, axis=1)                # (C, 6) f32 in [0,16)
+    ntri = jnp.stack(ntri_cols, axis=1)                  # (C, 6) f32 in [0,2]
+    onehot = (case_f[:, :, None]
+              == jnp.arange(16, dtype=jnp.float32)[None, None, :]
+              ).astype(jnp.float32)                      # (C, 6, 16)
+    pay = jnp.asarray(_payload_table(r1, r2))            # (6, 16, 6)
+    payload = jnp.einsum("cti,tij->ctj", onehot, pay,
+                         precision=jax.lax.Precision.HIGHEST)  # (C, 6, 6)
+    cand_key = (vlin[:, None, None, None]
+                * 7 + payload.astype(jnp.int32).reshape(c_max, 6, 2, 3))
+    exists = (jnp.arange(2, dtype=jnp.float32)[None, None, :]
+              < ntri[:, :, None]) & valid_c[:, None, None]  # (C, 6, 2)
 
     fslot, n_faces = _nth_true_indices(exists.reshape(-1), f_max)
     valid_f = jnp.arange(f_max) < jnp.minimum(n_faces, f_max)
@@ -276,8 +314,15 @@ DEFAULT_BUCKETS = tuple((c, 8 * c) for c in
 
 # face-budget ladder for the geometry phase, chosen from the EXACT dense
 # triangle count (count_cells_and_faces) — decoupled from the cell ladder so
-# clean surfaces (~2 faces/cell) don't pay the 8*c_max worst-case padding
-FACE_BUCKETS = tuple(8192 * 2 ** k for k in range(9))     # 8k .. 2M
+# clean surfaces (~2 faces/cell) don't pay the 8*c_max worst-case padding.
+# Above 32k the ladder has 1.5x midpoints: the geometry phase is
+# budget-linear at ~0.39 us/face (probe_extract_opt.json), so the 2x ladder's
+# ~1.5x average padding costs real time exactly where budgets are largest;
+# exact counts make tight budgets safe (overflow retry remains as the net).
+FACE_BUCKETS = tuple([8192 * 2 ** k for k in range(3)]            # 8k..32k
+                     + sorted(set(
+                         [32768 * 2 ** k for k in range(1, 7)]    # 64k..2M
+                         + [49152 * 2 ** k for k in range(6)])))  # 48k..1.5M
 
 
 @jax.jit
@@ -366,6 +411,26 @@ def _extract_and_sample_indexed(grid_b, i, key, num_samples, f_max, c_max,
                                    num_samples, f_max, c_max, div, zero_level)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("num_samples", "f_max", "c_max", "div"))
+def _extract_and_sample_group(grid_b, idxs, key, num_samples, f_max, c_max,
+                              div, zero_level=0.0):
+    """vmapped _extract_and_sample_indexed over a GROUP of samples sharing
+    one (c_max, f_max) bucket: one dispatch + one executable per group
+    instead of one per sample (the per-call fixed cost is ~8-10 ms on the
+    tunnel runtime; a batch of 16 loses ~0.15 s to it).  Per-sample rng is
+    fold_in(key, i) exactly like the single-sample path, so grouping does
+    not change any output."""
+
+    def one(i):
+        vol = jax.lax.dynamic_index_in_dim(grid_b, i, axis=0, keepdims=False)
+        return _extract_and_sample_one(vol, jax.random.fold_in(key, i),
+                                       num_samples, f_max, c_max, div,
+                                       zero_level)
+
+    return jax.vmap(one)(idxs)
+
+
 def extract_and_sample_device(psr_grid_dev, key, num_samples: int = 2048,
                               *, real_scale: bool = False,
                               zero_level: float = 0.0,
@@ -403,19 +468,35 @@ def extract_and_sample_device(psr_grid_dev, key, num_samples: int = 2048,
     fbucket_of = [next((j for j, f in enumerate(FACE_BUCKETS)
                         if face_counts[i] <= f), len(FACE_BUCKETS) - 1)
                   for i in range(b)]
-    pending = [dispatch(i, bucket_of[i], fbucket_of[i]) for i in range(b)]
+    # group samples sharing a (cell, face) bucket into ONE vmapped dispatch;
+    # group sizes are padded UP to a small size set (with a repeated index) to
+    # bound the number of distinct compiled executables while keeping the
+    # duplicated padded-sample work <= ~33% of a group
+    groups: dict = {}
+    for i in range(b):
+        groups.setdefault((bucket_of[i], fbucket_of[i]), []).append(i)
+    pending_group = {}
+    size_set = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64)
+    for (bi, fi), idxs in groups.items():
+        gp = next((s for s in size_set if len(idxs) <= s), len(idxs))
+        padded = idxs + [idxs[0]] * (gp - len(idxs))
+        pending_group[(bi, fi)] = _extract_and_sample_group(
+            psr_grid_dev, jnp.asarray(padded, jnp.int32), key, num_samples,
+            FACE_BUCKETS[fi], buckets[bi][0], div, zero_level)
     pts = [None] * b
     nrm = [None] * b
     nf = np.zeros((b,), np.int32)
-    for i in range(b):
-        p, n, f, c = pending[i]
-        f = int(f)
-        while (f > FACE_BUCKETS[fbucket_of[i]]
-               and fbucket_of[i] < len(FACE_BUCKETS) - 1):
-            fbucket_of[i] += 1                   # rare face-budget overflow
-            p, n, f, c = dispatch(i, bucket_of[i], fbucket_of[i])
-            f = int(f)
-        pts[i], nrm[i], nf[i] = np.asarray(p), np.asarray(n), f
+    for (bi, fi), idxs in groups.items():
+        p_g, n_g, f_g, _c_g = pending_group[(bi, fi)]
+        p_g, n_g, f_g = np.asarray(p_g), np.asarray(n_g), np.asarray(f_g)
+        for slot, i in enumerate(idxs):
+            p, n, f = p_g[slot], n_g[slot], int(f_g[slot])
+            while (f > FACE_BUCKETS[fbucket_of[i]]
+                   and fbucket_of[i] < len(FACE_BUCKETS) - 1):
+                fbucket_of[i] += 1               # rare face-budget overflow
+                p, n, f, c = dispatch(i, bucket_of[i], fbucket_of[i])
+                p, n, f = np.asarray(p), np.asarray(n), int(f)
+            pts[i], nrm[i], nf[i] = p, n, f
     overflow = np.array([nf[i] > FACE_BUCKETS[fbucket_of[i]]
                          or counts[i] > buckets[-1][0] for i in range(b)])
     if overflow.any():
