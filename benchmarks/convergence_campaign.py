@@ -611,6 +611,24 @@ def stage_eval(n_samples=400, t_steps=1000, metric_points=2048,
                                           per_category=True)
     _write(report)
 
+    # ---- uniformity-matched protocol (benchmarks/probe_nna_asymmetry.py):
+    # the decoder FPS-trims its output to 2048 evenly-spread points
+    # (reference point_upsample_decoder.py:149-182) while the refs above are
+    # random 2048-subsamples.  Scoring the SAME generations against
+    # FPS-subsampled refs removes the subsample-style mismatch so both sides
+    # are uniform 2048-pt covers.  The probe found this recovers only part
+    # of the t/f split (acc_t 0.17->0.28 at n=120; acc_f stays ~0.99): the
+    # residual is a genuine within-set contraction of decoded clouds
+    # (NN-scale 0.0020-0.0022 vs 0.0034 for FPS refs) — an AE-bottleneck
+    # diversity artifact present identically in pure reconstructions — so
+    # this block is reported alongside, not instead of, cloud_level.
+    test_full = _test_clouds(n_samples, npoints=3000)[0]
+    key, kf = jax.random.split(key)
+    ref_fps = np.asarray(sample_keypoints(jnp.asarray(test_full), sub,
+                                          add_centroid=False, key=kf)[0])
+    report["cloud_level_fpsref"] = cloud_metrics(gen_clouds, refs=ref_fps)
+    _write(report)
+
     # ---- FastDPM quality drift: same nets/weights, S-step chains
     for s in (fastdpm_lengths or ()):
         print(f"--- fastdpm S={s}")
