@@ -43,11 +43,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-try:
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(_REPO, "benchmarks", ".jax_cache"))
-except Exception:
-    pass
+from benchmarks.tpu_cache import enable_tpu_only_cache
+enable_tpu_only_cache()
 
 
 def _load_baseline():

@@ -56,12 +56,8 @@ import jax                                                  # noqa: E402
 import jax.numpy as jnp                                     # noqa: E402
 import numpy as np                                          # noqa: E402
 
-try:
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
-except Exception:
-    pass
+from benchmarks.tpu_cache import enable_tpu_only_cache  # noqa: E402
+enable_tpu_only_cache()
 
 
 def _label_synset(idx: int) -> str:

@@ -21,12 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-try:
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
-except Exception:
-    pass
+from benchmarks.tpu_cache import enable_tpu_only_cache  # noqa: E402
+enable_tpu_only_cache()
 
 REPS = 10
 
